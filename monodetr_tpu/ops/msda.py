@@ -1,0 +1,141 @@
+"""Multi-scale deformable attention (MSDA) for TPU.
+
+The reference implements this op as a CUDA extension
+(`lib/models/monodetr/ops/src/ms_deform_im2col_cuda.cuh`): for every query,
+head, level and point it bilinearly samples the value map and accumulates with
+softmax attention weights; the backward scatter-adds into grad_value.
+
+On TPU the natural formulation is *one fused gather*: we precompute the four
+bilinear corner indices and weights for every (query, head, level, point) and
+issue a single `take_along_axis` over the flattened multi-level value tensor,
+followed by an elementwise multiply-reduce.  XLA compiles this to a native TPU
+gather along the sublane dimension fused with the weighting; autodiff of the
+gather produces exactly the scatter-add the CUDA backward hand-writes
+(ms_deform_im2col_cuda.cuh:845-922).  A Pallas kernel for the hottest
+configuration lives in `msda_pallas.py` and is validated against this
+implementation.
+
+Numerical contract (matches `ms_deform_attn_core_pytorch`,
+ops/functions/ms_deform_attn_func.py:41-61):
+  - sampling grid = 2 * loc - 1, grid_sample align_corners=False, zero padding
+    => pixel coords fx = loc_x * W - 0.5, fy = loc_y * H - 0.5.
+  - out-of-bounds corners contribute zero.
+
+Shapes (all static under jit):
+  value:       [B, S, H, D]   S = sum_l h_l * w_l
+  spatial_shapes: static tuple ((h0, w0), ...) — *python* ints, not traced
+  sampling_locations: [B, Q, H, L, P, 2] in [0, 1] (x, y)
+  attention_weights:  [B, Q, H, L, P] (softmaxed over L*P by the caller)
+  returns:     [B, Q, H * D]
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _corner_indices_and_weights(sampling_locations, spatial_shapes, level_starts):
+    """Compute flattened gather indices and bilinear weights.
+
+    Returns (idx [B, Q, H, L, P, 4] int32 into [0, S), w [B, Q, H, L, P, 4]).
+    Out-of-bounds corners get weight 0 and a clamped (valid) index.
+    """
+    shapes = np.asarray(spatial_shapes, dtype=np.int32)  # [L, 2] (h, w)
+    hs = shapes[:, 0][None, None, None, :, None]
+    ws = shapes[:, 1][None, None, None, :, None]
+    starts = np.asarray(level_starts, dtype=np.int32)[None, None, None, :, None]
+
+    x = sampling_locations[..., 0]
+    y = sampling_locations[..., 1]
+    fx = x * ws - 0.5
+    fy = y * hs - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    lx = fx - x0
+    ly = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(xi, yi, w):
+        valid = (xi >= 0) & (xi < ws) & (yi >= 0) & (yi < hs)
+        xi_c = jnp.clip(xi, 0, ws - 1)
+        yi_c = jnp.clip(yi, 0, hs - 1)
+        idx = starts + yi_c * ws + xi_c
+        return idx, jnp.where(valid, w, 0.0)
+
+    i00, w00 = corner(x0i, y0i, (1 - lx) * (1 - ly))
+    i01, w01 = corner(x0i + 1, y0i, lx * (1 - ly))
+    i10, w10 = corner(x0i, y0i + 1, (1 - lx) * ly)
+    i11, w11 = corner(x0i + 1, y0i + 1, lx * ly)
+
+    idx = jnp.stack([i00, i01, i10, i11], axis=-1)
+    w = jnp.stack([w00, w01, w10, w11], axis=-1)
+    return idx, w
+
+
+def level_start_indices(spatial_shapes):
+    sizes = [h * w for h, w in spatial_shapes]
+    return tuple(np.cumsum([0] + sizes[:-1]).tolist())
+
+
+def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights):
+    """Fused-gather MSDA forward; differentiable via XLA autodiff.
+
+    See module docstring for shapes.  `spatial_shapes` must be a static
+    (python) sequence of (h, w) pairs.
+    """
+    B, S, H, D = value.shape
+    Bq, Q, Hq, L, P, _ = sampling_locations.shape
+    assert H == Hq and len(spatial_shapes) == L
+
+    starts = level_start_indices(spatial_shapes)
+    idx, w = _corner_indices_and_weights(sampling_locations, spatial_shapes, starts)
+    # Fold bilinear corner weights into the attention weights: one weight per
+    # gathered row.  [B, Q, H, L, P, 4]
+    w = w * attention_weights[..., None]
+
+    # One gather over the flattened sample axis.
+    # value -> [B, H, S, D]; indices -> [B, H, Q*L*P*4]
+    value_t = jnp.swapaxes(value, 1, 2)  # [B, H, S, D]
+    idx_t = jnp.transpose(idx, (0, 2, 1, 3, 4, 5)).reshape(B, H, -1)  # [B,H,QLP4]
+    gathered = jnp.take_along_axis(
+        value_t, idx_t[..., None], axis=2
+    )  # [B, H, Q*L*P*4, D]
+    gathered = gathered.reshape(B, H, Q, L * P * 4, D)
+    w_t = jnp.transpose(w, (0, 2, 1, 3, 4, 5)).reshape(B, H, Q, L * P * 4)
+    out = jnp.einsum("bhqk,bhqkd->bhqd", w_t, gathered)  # [B, H, Q, D]
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D)
+
+
+def ms_deform_attn_reference(value, spatial_shapes, sampling_locations,
+                             attention_weights):
+    """Slow per-level oracle mirroring `ms_deform_attn_core_pytorch`
+    (ops/functions/ms_deform_attn_func.py:41-61) via explicit grid-sampling.
+
+    Used only in tests as the correctness oracle for the fused path and the
+    Pallas kernel.
+    """
+    from .utils import grid_sample_bilinear
+
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    starts = level_start_indices(spatial_shapes)
+
+    out = jnp.zeros((B, Q, H, D), value.dtype)
+    for lid, (h, w) in enumerate(spatial_shapes):
+        v_l = value[:, starts[lid]:starts[lid] + h * w]  # [B, h*w, H, D]
+        v_l = v_l.reshape(B, h, w, H, D)
+        grid = 2 * sampling_locations[:, :, :, lid] - 1  # [B, Q, H, P, 2]
+
+        def sample_one(img, coords):  # img [h, w, H*D], coords [Q, H, P, 2]
+            return grid_sample_bilinear(img, coords, align_corners=False)
+
+        sampled = jax.vmap(sample_one)(
+            v_l.reshape(B, h, w, H * D), grid
+        )  # [B, Q, H, P, H*D]
+        sampled = sampled.reshape(B, Q, H, P, H, D)
+        # keep each head's own channels: diag over the two head axes
+        sampled = jnp.einsum("bqhphd->bqhpd", sampled)
+        out = out + jnp.einsum("bqhp,bqhpd->bqhd",
+                               attention_weights[:, :, :, lid], sampled)
+    return out.reshape(B, Q, H * D)

@@ -1,0 +1,118 @@
+"""Shared flax building blocks.
+
+The attention block reproduces torch ``nn.MultiheadAttention`` math (packed
+in-proj + out-proj, scale 1/sqrt(d_head)) so that reference checkpoints map
+1:1 onto our parameter tree; everything runs in NHWC / [B, T, C] layouts,
+which is what the TPU vector units and MXU want.
+"""
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class MLP(nn.Module):
+    """ReLU MLP head — reference monodetr.py:535-547."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            dim = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(dim, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+class MultiheadAttention(nn.Module):
+    """torch-compatible multi-head attention over [B, T, C] tensors.
+
+    Packed qkv in-projection (single dense of width 3C) + out projection,
+    softmax(QK^T / sqrt(d_head))V.  `key_padding` semantics are omitted: every
+    caller in this model passes an all-valid mask (fixed 384x1280 inputs), so
+    the mask would be a no-op (reference backbone.py:88 creates all-False
+    masks).
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True, attn_mask=None):
+        d_model = q.shape[-1]
+        head_dim = d_model // self.num_heads
+        B, Tq, _ = q.shape
+        Tk = k.shape[1]
+
+        # Packed in-projection applied piecewise (q, k, v may differ).
+        w = self.param(
+            "in_proj_kernel", nn.initializers.xavier_uniform(), (d_model, 3 * d_model)
+        )
+        b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d_model,))
+        qp = q @ w[:, :d_model] + b[:d_model]
+        kp = k @ w[:, d_model : 2 * d_model] + b[d_model : 2 * d_model]
+        vp = v @ w[:, 2 * d_model :] + b[2 * d_model :]
+
+        def split(x, T):
+            return x.reshape(B, T, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(qp, Tq), split(kp, Tk), split(vp, Tk)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) / np.sqrt(head_dim)
+        if attn_mask is not None:
+            logits = jnp.where(attn_mask, -1e9, logits)
+        attn = nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh.astype(attn.dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, d_model)
+        return nn.Dense(d_model, name="out_proj")(out)
+
+
+class ConvGN(nn.Module):
+    """Conv2D (NHWC) followed by GroupNorm(32) — the reference's
+    input-projection / depth-predictor block pattern (monodetr.py:83-91)."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            name="conv",
+        )(x)
+        return nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
+
+
+class FFN(nn.Module):
+    """Post-norm transformer FFN block: x + dropout(W2 act(W1 x)), then LN.
+
+    Matches the layout used by every encoder/decoder layer in the reference
+    (depthaware_transformer.py:339-343, 431-435).
+    """
+
+    d_ffn: int
+    dropout: float = 0.1
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.Dense(self.d_ffn, name="linear1")(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(x.shape[-1], name="linear2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + h)

@@ -1,0 +1,176 @@
+"""On-device Hungarian matching.
+
+The reference moves the cost matrix to the CPU and loops
+scipy.optimize.linear_sum_assignment over (11 groups x batch) problems
+(matcher.py:87-104) — a device->host sync in the middle of every training
+step.  Here the whole thing is a jitted shortest-augmenting-path LAP solver
+(the same algorithm scipy implements) over fixed-shape 50x50 padded cost
+matrices, vmapped over batch x groups, so matching stays on the TPU.
+
+Padding trick: invalid (padded) targets get a large constant cost; since all
+ghost columns cost the same, they do not perturb the optimal assignment of
+the real columns, and matches to ghosts are masked out downstream.
+
+Cost terms and weights are those of reference matcher.py:62-86:
+  focal-style class cost, L1 3D-center cost, L1 2D l/r/t/b cost, GIoU cost
+  (cxcylrtb -> xyxy), weighted 2/10/5/2.
+"""
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import box_ops
+
+BIG_COST = 1e6
+
+
+def lap_solve(cost):
+    """Exact LAP on a square cost matrix [n, n]; returns col4row [n]: the
+    column assigned to each row.
+
+    Shortest-augmenting-path with dual updates — the same algorithm as
+    scipy.optimize.linear_sum_assignment — expressed with fixed-shape lax
+    control flow so it jits and vmaps.
+    """
+    n = cost.shape[0]
+    INF = jnp.float32(1e18)
+
+    def solve_row(carry, cur_row):
+        u, v, col4row, row4col = carry
+
+        shortest = jnp.full((n,), INF)
+        path_row = jnp.full((n,), -1, jnp.int32)  # predecessor row per column
+        SR = jnp.zeros((n,), bool)  # scanned rows
+        SC = jnp.zeros((n,), bool)  # scanned columns
+
+        def dij_cond(state):
+            return state[6] < 0  # sink
+
+        def dij_body(state):
+            shortest, path_row, SR, SC, i, minVal, _sink = state
+            SR = SR.at[i].set(True)
+            cand = minVal + cost[i] - u[i] - v
+            better = (cand < shortest) & ~SC
+            shortest = jnp.where(better, cand, shortest)
+            path_row = jnp.where(better, i, path_row)
+            masked = jnp.where(SC, INF, shortest)
+            j = jnp.argmin(masked)
+            minVal = masked[j]
+            SC = SC.at[j].set(True)
+            r = row4col[j]
+            sink = jnp.where(r < 0, j, -1)
+            i = jnp.where(r < 0, i, r)
+            return shortest, path_row, SR, SC, i, minVal, sink
+
+        init = (shortest, path_row, SR, SC, cur_row, jnp.float32(0.0), jnp.int32(-1))
+        shortest, path_row, SR, SC, _, minVal, sink = jax.lax.while_loop(
+            dij_cond, dij_body, init
+        )
+
+        # dual updates
+        u = u.at[cur_row].add(minVal)
+        rows = jnp.arange(n)
+        c4r_safe = jnp.clip(col4row, 0, n - 1)
+        row_upd = SR & (rows != cur_row) & (col4row >= 0)
+        u = u + jnp.where(row_upd, minVal - shortest[c4r_safe], 0.0)
+        v = v - jnp.where(SC, minVal - shortest, 0.0)
+
+        # augment along the alternating path ending at sink
+        def aug_cond(state):
+            return ~state[3]
+
+        def aug_body(state):
+            col4row, row4col, j, _done = state
+            i = path_row[j]
+            row4col = row4col.at[j].set(i)
+            j_next = col4row[i]
+            col4row = col4row.at[i].set(j)
+            return col4row, row4col, j_next, i == cur_row
+
+        col4row, row4col, _, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (col4row, row4col, sink, jnp.bool_(False))
+        )
+        return (u, v, col4row, row4col), None
+
+    u = jnp.zeros((n,))
+    v = jnp.zeros((n,))
+    col4row = jnp.full((n,), -1, jnp.int32)
+    row4col = jnp.full((n,), -1, jnp.int32)
+    (u, v, col4row, row4col), _ = jax.lax.scan(
+        solve_row, (u, v, col4row, row4col), jnp.arange(n)
+    )
+    return col4row
+
+
+def matching_cost(pred_logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
+                  cost_class=2.0, cost_3dcenter=10.0, cost_bbox=5.0,
+                  cost_giou=2.0, focal_alpha=0.25, focal_gamma=2.0):
+    """Cost matrix [Q, T] for one image; invalid targets -> BIG_COST."""
+    prob = jax.nn.sigmoid(pred_logits)  # [Q, C]
+    neg = (1 - focal_alpha) * prob**focal_gamma * (-jnp.log(1 - prob + 1e-8))
+    pos = focal_alpha * (1 - prob) ** focal_gamma * (-jnp.log(prob + 1e-8))
+    cls_cost = (pos - neg)[:, tgt_labels]  # [Q, T]
+
+    center_cost = jnp.abs(
+        pred_boxes[:, None, :2] - tgt_boxes[None, :, :2]
+    ).sum(-1)
+    bbox_cost = jnp.abs(
+        pred_boxes[:, None, 2:6] - tgt_boxes[None, :, 2:6]
+    ).sum(-1)
+    giou_cost = -box_ops.generalized_box_iou(
+        box_ops.box_cxcylrtb_to_xyxy(pred_boxes),
+        box_ops.box_cxcylrtb_to_xyxy(tgt_boxes),
+    )
+    C = (
+        cost_bbox * bbox_cost
+        + cost_3dcenter * center_cost
+        + cost_class * cls_cost
+        + cost_giou * giou_cost
+    )
+    return jnp.where(tgt_valid[None, :], C, BIG_COST)
+
+
+@partial(jax.jit, static_argnames=("group_num",))
+def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
+                    cost_class=2.0, cost_3dcenter=10.0, cost_bbox=5.0,
+                    cost_giou=2.0):
+    """Match padded targets to queries, per group.
+
+    outputs: pred_logits [B, G*Nq, C], pred_boxes [B, G*Nq, 6]
+    targets: labels [B, T] int, boxes_3d [B, T, 6], mask [B, T] bool
+    Returns matched_q [B, G, T] int32 — for each (image, group, target slot)
+    the index of the assigned query in [0, G*Nq); rows for invalid targets
+    point at ghost queries and must be masked with targets['mask'].
+    """
+    B, QG, C = outputs["pred_logits"].shape
+    T = targets["labels"].shape[1]
+    nq = QG // group_num
+
+    logits = outputs["pred_logits"].reshape(B, group_num, nq, C)
+    boxes = outputs["pred_boxes"].reshape(B, group_num, nq, 6)
+
+    def one(logits_g, boxes_g, labels, tboxes, valid):
+        C_qt = matching_cost(
+            logits_g, boxes_g, labels, tboxes, valid,
+            cost_class, cost_3dcenter, cost_bbox, cost_giou,
+        )
+        # LAP over rows=targets (pad to nq), cols=queries
+        C_tq = C_qt.T  # [T, nq]
+        pad = nq - T
+        if pad > 0:
+            C_tq = jnp.concatenate(
+                [C_tq, jnp.full((pad, nq), BIG_COST)], axis=0
+            )
+        return lap_solve(C_tq)[:T]  # query index per target slot
+
+    matched = jax.vmap(  # over batch
+        jax.vmap(one, in_axes=(0, 0, None, None, None)),  # over groups
+        in_axes=(0, 0, 0, 0, 0),
+    )(logits, boxes, targets["labels"], targets["boxes_3d"], targets["mask"])
+
+    # offset into the flat G*Nq query axis
+    offsets = (jnp.arange(group_num) * nq)[None, :, None]
+    return matched + offsets

@@ -1,0 +1,247 @@
+"""MonoDETR top-level model: backbone -> input projections -> depth predictor
+-> depth-aware transformer -> per-layer prediction heads with three-way depth
+fusion.
+
+Parity with reference lib/models/monodetr/monodetr.py (MonoDETR.forward,
+:150-283) for the shipped configuration (with_box_refine=True, aux_loss=True,
+two_stage/dab/dn off).  Redesigned for XLA: fixed shapes, NHWC, no
+NestedTensor masks (always all-valid), heads vmapped over decoder layers via
+stacked application.
+"""
+
+import math
+from typing import Any, Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.utils import grid_sample_bilinear, inverse_sigmoid
+from .backbone import ResNetBackbone
+from .depth_predictor import DepthPredictor
+from .layers import MLP, ConvGN
+from .position_encoding import sine_pos_table
+from .transformer import DepthAwareTransformer
+
+
+class MonoDETR(nn.Module):
+    num_classes: int = 3
+    num_queries: int = 50
+    num_feature_levels: int = 4
+    group_num: int = 11
+    hidden_dim: int = 256
+    backbone_name: str = "resnet50"
+    dilation: bool = False
+    enc_layers: int = 3
+    dec_layers: int = 3
+    nheads: int = 8
+    dim_feedforward: int = 256
+    dropout: float = 0.1
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    num_depth_bins: int = 80
+    depth_min: float = 1e-3
+    depth_max: float = 60.0
+    with_box_refine: bool = True
+    init_box: bool = False
+
+    def setup(self):
+        self.backbone = ResNetBackbone(
+            name_or_depth=self.backbone_name, dilation=self.dilation, name="backbone"
+        )
+        # 1x1 conv+GN per backbone level + stride-2 3x3 for the synthesized
+        # extra level (monodetr.py:78-99)
+        projs = []
+        for i in range(3):
+            projs.append(ConvGN(self.hidden_dim, kernel=1, name=f"input_proj_{i}"))
+        projs.append(
+            ConvGN(self.hidden_dim, kernel=3, stride=2, name="input_proj_3")
+        )
+        self.input_proj = projs
+
+        self.depth_predictor = DepthPredictor(
+            d_model=self.hidden_dim,
+            num_depth_bins=self.num_depth_bins,
+            depth_min=self.depth_min,
+            depth_max=self.depth_max,
+            name="depth_predictor",
+        )
+        self.transformer = DepthAwareTransformer(
+            d_model=self.hidden_dim,
+            nhead=self.nheads,
+            num_encoder_layers=self.enc_layers,
+            num_decoder_layers=self.dec_layers,
+            dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout,
+            num_feature_levels=self.num_feature_levels,
+            enc_n_points=self.enc_n_points,
+            dec_n_points=self.dec_n_points,
+            group_num=self.group_num,
+            num_queries=self.num_queries,
+            name="transformer",
+        )
+
+        self.query_embed = self.param(
+            "query_embed",
+            nn.initializers.normal(1.0),
+            (self.num_queries * self.group_num, 2 * self.hidden_dim),
+        )
+
+        # focal-style bias init for classification (monodetr.py:55-57)
+        prior_prob = 0.01
+        bias_value = -math.log((1 - prior_prob) / prior_prob)
+        n_pred = self.dec_layers  # heads cloned per layer (with_box_refine)
+        self.class_embed = [
+            nn.Dense(
+                self.num_classes,
+                bias_init=nn.initializers.constant(bias_value),
+                name=f"class_embed_{i}",
+            )
+            for i in range(n_pred)
+        ]
+        self.bbox_embed = [
+            MLP(self.hidden_dim, 6, 3, name=f"bbox_embed_{i}") for i in range(n_pred)
+        ]
+        self.dim_embed_3d = [
+            MLP(self.hidden_dim, 3, 2, name=f"dim_embed_3d_{i}") for i in range(n_pred)
+        ]
+        self.angle_embed = [
+            MLP(self.hidden_dim, 24, 2, name=f"angle_embed_{i}") for i in range(n_pred)
+        ]
+        self.depth_embed = [
+            MLP(self.hidden_dim, 2, 2, name=f"depth_embed_{i}") for i in range(n_pred)
+        ]
+
+    def __call__(self, images, calibs, img_sizes, train: bool = False,
+                 deterministic: bool = True) -> Dict[str, Any]:
+        """
+        images:    [B, H, W, 3] normalized
+        calibs:    [B, 3, 4] P2 matrices
+        img_sizes: [B, 2] original (w, h) per image
+        Returns dict with pred_logits/pred_boxes/pred_3d_dim/pred_depth/
+        pred_angle/pred_depth_map_logits + aux_outputs.
+        """
+        feats = self.backbone(images)  # strides 8/16/32, NHWC
+
+        srcs = [self.input_proj[i](feats[i]) for i in range(3)]
+        srcs.append(self.input_proj[3](feats[2]))  # extra 1/64 level
+
+        pos = [
+            jnp.broadcast_to(
+                sine_pos_table(s.shape[1], s.shape[2], self.hidden_dim)[None],
+                s.shape[:3] + (self.hidden_dim,),
+            )
+            for s in srcs
+        ]
+
+        (
+            depth_logits,
+            depth_embed_tokens,
+            weighted_depth,
+            _depth_pos_ip,
+        ) = self.depth_predictor(srcs, pos[1], deterministic=deterministic)
+
+        q = self.query_embed if train else self.query_embed[: self.num_queries]
+
+        bbox_heads = [lambda x, h=h: h(x) for h in self.bbox_embed]
+        dim_heads = [lambda x, h=h: h(x) for h in self.dim_embed_3d]
+        hs, init_reference, refs_in, inter_dims = self.transformer(
+            srcs, pos, q, depth_embed_tokens, bbox_heads, dim_heads,
+            train=train, deterministic=deterministic,
+        )
+
+        outputs_coords, outputs_classes = [], []
+        outputs_depths, outputs_angles = [], []
+        B = images.shape[0]
+        fy = calibs[:, 0, 0][:, None]  # focal (monodetr.py:242 uses P2[0,0])
+
+        for lvl in range(self.dec_layers):
+            reference = refs_in[lvl]
+            ref_unact = inverse_sigmoid(reference)
+            tmp = self.bbox_embed[lvl](hs[lvl])
+            if ref_unact.shape[-1] == 6:
+                tmp = tmp + ref_unact
+            else:
+                tmp = tmp.at[..., :2].add(ref_unact)
+            coord = nn.sigmoid(tmp)  # [B, Q, 6] cxcylrtb, normalized
+            outputs_coords.append(coord)
+
+            outputs_classes.append(self.class_embed[lvl](hs[lvl]))
+
+            size3d = inter_dims[lvl]  # [B, Q, 3]
+
+            # depth_geo: f * h3d / h2d (monodetr.py:240-242)
+            box2d_height_norm = coord[:, :, 4] + coord[:, :, 5]
+            box2d_height = jnp.clip(box2d_height_norm * img_sizes[:, 1:2], 1.0, None)
+            depth_geo = size3d[:, :, 0] / box2d_height * fy
+
+            # depth_reg
+            depth_reg = self.depth_embed[lvl](hs[lvl])  # [B, Q, 2]
+
+            # depth_map readout: bilinear sample of weighted depth at the 3D
+            # center, coords detached (monodetr.py:248-253, align_corners=True)
+            centers = jax.lax.stop_gradient((coord[..., :2] - 0.5) * 2)
+            depth_map = jax.vmap(
+                lambda img, c: grid_sample_bilinear(
+                    img[..., None], c, align_corners=True
+                )[..., 0]
+            )(weighted_depth, centers)  # [B, Q]
+
+            depth_ave = (
+                1.0 / (nn.sigmoid(depth_reg[:, :, 0]) + 1e-6)
+                - 1.0
+                + depth_geo
+                + depth_map
+            ) / 3
+            outputs_depths.append(
+                jnp.stack([depth_ave, depth_reg[:, :, 1]], axis=-1)
+            )
+
+            outputs_angles.append(self.angle_embed[lvl](hs[lvl]))
+
+        out = {
+            "pred_logits": outputs_classes[-1],
+            "pred_boxes": outputs_coords[-1],
+            "pred_3d_dim": inter_dims[-1],
+            "pred_depth": outputs_depths[-1],
+            "pred_angle": outputs_angles[-1],
+            "pred_depth_map_logits": depth_logits,
+            "weighted_depth": weighted_depth,
+            "aux_outputs": [
+                {
+                    "pred_logits": outputs_classes[i],
+                    "pred_boxes": outputs_coords[i],
+                    "pred_3d_dim": inter_dims[i],
+                    "pred_depth": outputs_depths[i],
+                    "pred_angle": outputs_angles[i],
+                }
+                for i in range(self.dec_layers - 1)
+            ],
+        }
+        return out
+
+
+def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
+    """Model from the `model:` section of the YAML config
+    (configs/monodetr.yaml in both repos)."""
+    return MonoDETR(
+        num_classes=cfg.get("num_classes", 3),
+        num_queries=cfg.get("num_queries", 50),
+        num_feature_levels=cfg.get("num_feature_levels", 4),
+        group_num=cfg.get("group_num", 11),
+        hidden_dim=cfg.get("hidden_dim", 256),
+        backbone_name=cfg.get("backbone", "resnet50"),
+        dilation=cfg.get("dilation", False),
+        enc_layers=cfg.get("enc_layers", 3),
+        dec_layers=cfg.get("dec_layers", 3),
+        nheads=cfg.get("nheads", 8),
+        dim_feedforward=cfg.get("dim_feedforward", 256),
+        dropout=cfg.get("dropout", 0.1),
+        enc_n_points=cfg.get("enc_n_points", 4),
+        dec_n_points=cfg.get("dec_n_points", 4),
+        num_depth_bins=cfg.get("num_depth_bins", 80),
+        depth_min=float(cfg.get("depth_min", 1e-3)),
+        depth_max=float(cfg.get("depth_max", 60.0)),
+        with_box_refine=cfg.get("with_box_refine", True),
+        init_box=cfg.get("init_box", False),
+    )

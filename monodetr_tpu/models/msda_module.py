@@ -1,0 +1,94 @@
+"""MSDeformAttn flax module: learned sampling offsets + attention weights
+around the fused-gather op.
+
+Parity with reference ops/modules/ms_deform_attn.py:69-162, including the
+characteristic initialization (ring-of-directions offset bias, zero attention
+weights, ms_deform_attn.py:106-120) which is load-bearing for convergence.
+"""
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.msda import ms_deform_attn
+
+
+def _offset_bias_init(n_heads, n_levels, n_points):
+    """Ring of unit directions scaled by point index (ms_deform_attn.py:107-114)."""
+    thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # [H, 2]
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1)
+
+
+class MSDeformAttn(nn.Module):
+    d_model: int = 256
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, query, reference_points, value_tokens, spatial_shapes):
+        """
+        query:            [B, Q, C]
+        reference_points: [B, Q, L, 2] (normalized centers) or [B, Q, L, 6]
+                          (cxcylrtb reference boxes)
+        value_tokens:     [B, S, C] flattened multi-level memory
+        spatial_shapes:   static ((h, w), ...) of length n_levels
+        """
+        B, Q, _ = query.shape
+        S = value_tokens.shape[1]
+        H, L, P = self.n_heads, self.n_levels, self.n_points
+        D = self.d_model // H
+
+        value = nn.Dense(self.d_model, name="value_proj")(value_tokens)
+        value = value.reshape(B, S, H, D)
+
+        offsets = nn.Dense(
+            H * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _offset_bias_init(H, L, P), dtype
+            ),
+            name="sampling_offsets",
+        )(query).reshape(B, Q, H, L, P, 2)
+
+        attn = nn.Dense(
+            H * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(B, Q, H, L * P)
+        attn = nn.softmax(attn, axis=-1).reshape(B, Q, H, L, P)
+
+        if reference_points.shape[-1] == 2:
+            # offsets normalized by each level's (w, h)
+            norm = jnp.asarray(
+                [[w, h] for h, w in spatial_shapes], jnp.float32
+            )  # [L, 2]
+            loc = (
+                reference_points[:, :, None, :, None, :]
+                + offsets / norm[None, None, None, :, None, :]
+            )
+        elif reference_points.shape[-1] == 6:
+            # cxcylrtb boxes: offsets scaled by half the box extent
+            # (ms_deform_attn.py:153-155): (l+r, t+b) / 2.
+            wh = (
+                reference_points[:, :, None, :, None, 2::2]
+                + reference_points[:, :, None, :, None, 3::2]
+            ) * 0.5
+            loc = (
+                reference_points[:, :, None, :, None, :2]
+                + offsets / self.n_points * wh
+            )
+        else:
+            raise ValueError("reference_points last dim must be 2 or 6")
+
+        out = ms_deform_attn(value, tuple(spatial_shapes), loc, attn)
+        return nn.Dense(self.d_model, name="output_proj")(out)

@@ -1,0 +1,111 @@
+"""Benchmark: MonoDETR-TPU training throughput (images/sec/chip) on the real
+TPU at the reference recipe's shapes (384x1280, batch 16, 550 grouped
+queries, full criterion + reference-AdamW update in one jitted step).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": R}
+
+vs_baseline: the reference publishes no throughput (BASELINE.md); the
+driver's north-star asks for >= 2x A100 training images/sec/chip.  We use an
+estimated A100 reference of 55 img/s for MonoDETR (bs=16 at 384x1280,
+DETR-class model on A100) so vs_baseline = value / 55.0; >= 2.0 meets the
+target.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+A100_REF_IMG_PER_SEC = 55.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from monodetr_tpu.models import MonoDETR
+    from monodetr_tpu.models.criterion import SetCriterion
+    from monodetr_tpu.train.optimizer import build_optimizer
+    from monodetr_tpu.train.train_step import make_train_step
+
+    B, H, W, T = 16, 384, 1280, 50
+    # bf16 compute + remat: the TPU fast path (fp32 master params)
+    model = MonoDETR(dtype=jnp.bfloat16, remat=True)
+    crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+        "calibs": jnp.tile(
+            jnp.asarray(
+                [[721.54, 0.0, 609.56, 44.86],
+                 [0.0, 721.54, 172.85, 0.22],
+                 [0.0, 0.0, 1.0, 0.003]], jnp.float32,
+            )[None],
+            (B, 1, 1),
+        ),
+        "img_sizes": jnp.tile(jnp.asarray([[1242.0, 375.0]], jnp.float32), (B, 1)),
+        "labels": jnp.asarray(rng.randint(0, 2, (B, T)).astype(np.int32)),
+        "boxes": jnp.asarray(
+            np.concatenate(
+                [rng.rand(B, T, 2) * 0.8 + 0.1, rng.rand(B, T, 2) * 0.15 + 0.02], -1
+            ).astype(np.float32)
+        ),
+        "boxes_3d": jnp.asarray(
+            np.concatenate(
+                [rng.rand(B, T, 2), rng.rand(B, T, 4) * 0.1 + 0.02], -1
+            ).astype(np.float32)
+        ),
+        "depth": jnp.asarray((rng.rand(B, T, 1) * 50 + 5).astype(np.float32)),
+        "size_3d": jnp.asarray((rng.rand(B, T, 3) + 0.8).astype(np.float32)),
+        "heading_bin": jnp.asarray(rng.randint(0, 12, (B, T, 1)).astype(np.int32)),
+        "heading_res": jnp.asarray((rng.randn(B, T, 1) * 0.2).astype(np.float32)),
+        "mask": jnp.asarray(rng.rand(B, T) > 0.7),
+    }
+
+    params = jax.jit(
+        lambda r: model.init(
+            r, batch["images"], batch["calibs"], batch["img_sizes"], train=True
+        )
+    )(jax.random.PRNGKey(0))
+    opt_state, step_fn = build_optimizer(
+        {"type": "adamw", "lr": 2e-4, "weight_decay": 1e-4}, params
+    )
+    train_step = make_train_step(model, crit, step_fn)
+
+    key = jax.random.PRNGKey(1)
+    lr = jnp.float32(2e-4)
+
+    # warmup / compile
+    p, s = params, opt_state
+    p, s, losses = train_step(p, s, batch, lr, key)
+    jax.block_until_ready(p)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        p, s, losses = train_step(p, s, batch, lr, sub)
+    jax.block_until_ready(p)
+    dt = (time.perf_counter() - t0) / iters
+    img_per_sec = B / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_384x1280_bs16",
+                "value": round(img_per_sec, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_sec / A100_REF_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,328 @@
+"""KITTI dataset: host-side numpy pipeline producing fixed-shape batches.
+
+Parity with reference lib/datasets/kitti/kitti_dataset.py (KITTI_Dataset):
+photometric distort / flip / scale-shift crop augmentations, affine warp to
+1280x384, ImageNet normalization, and padded [max_objs=50] target encoding
+(writelist/level/depth-range/center-in-image filters, cxcylrtb 6-D boxes,
+LID-ready depths, heading bin+residual, mask_2d).  Differences by design:
+
+  - images come out NHWC (TPU layout) instead of CHW;
+  - targets stay padded + masked (the reference re-raggedizes them in
+    trainer_helper.prepare_targets; our criterion consumes the mask
+    directly);
+  - `mask` is the reference's `mask_2d` (trunc<=0.5 & occ<=2 filter).
+"""
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+from PIL import Image, ImageFile
+
+ImageFile.LOAD_TRUNCATED_IMAGES = True
+
+from ..ops.utils import angle2class_np
+from .augment import PhotometricDistort
+from .kitti_utils import (
+    Calibration,
+    affine_transform,
+    get_affine_transform,
+    get_objects_from_label,
+)
+
+
+class KITTIDataset:
+    def __init__(self, split: str, cfg: Dict[str, Any]):
+        self.root_dir = cfg.get("root_dir")
+        self.split = split
+        self.num_classes = 3
+        self.max_objs = 50
+        self.class_name = ["Pedestrian", "Car", "Cyclist"]
+        self.cls2id = {"Pedestrian": 0, "Car": 1, "Cyclist": 2}
+        # W, H — configurable (the reference hardcodes 1280x384,
+        # kitti_dataset.py:32); the 2x stress config and small-res tests
+        # override it.  Must be divisible by 64 (4 feature levels + /64 synth).
+        self.resolution = np.array(cfg.get("resolution", [1280, 384]))
+        self.use_3d_center = cfg.get("use_3d_center", True)
+        self.writelist = list(cfg.get("writelist", ["Car"]))
+        self.bbox2d_type = cfg.get("bbox2d_type", "anno")
+        self.meanshape = cfg.get("meanshape", False)
+        self.class_merging = cfg.get("class_merging", False)
+        self.use_dontcare = cfg.get("use_dontcare", False)
+        if self.class_merging:
+            self.writelist.extend(["Van", "Truck"])
+        if self.use_dontcare:
+            self.writelist.extend(["DontCare"])
+
+        assert split in ["train", "val", "trainval", "test"]
+        split_file = os.path.join(self.root_dir, "ImageSets", split + ".txt")
+        with open(split_file) as f:
+            self.idx_list = [x.strip() for x in f.readlines()]
+
+        self.data_dir = os.path.join(
+            self.root_dir, "testing" if split == "test" else "training"
+        )
+        self.image_dir = os.path.join(self.data_dir, "image_2")
+        self.calib_dir = os.path.join(self.data_dir, "calib")
+        self.label_dir = os.path.join(self.data_dir, "label_2")
+
+        self.data_augmentation = split in ["train", "trainval"]
+        self.aug_pd = cfg.get("aug_pd", False)
+        self.aug_crop = cfg.get("aug_crop", False)
+        self.aug_calib = cfg.get("aug_calib", False)
+        self.random_flip = cfg.get("random_flip", 0.5)
+        self.random_crop = cfg.get("random_crop", 0.5)
+        self.scale = cfg.get("scale", 0.4)
+        self.shift = cfg.get("shift", 0.1)
+        self.depth_scale = cfg.get("depth_scale", "normal")
+
+        self.mean = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+        self.std = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+        self.cls_mean_size = np.array(
+            [
+                [1.76255119, 0.66068622, 0.84422524],
+                [1.52563191462, 1.62856739989, 3.88311640418],
+                [1.73698127, 0.59706367, 1.76282397],
+            ]
+        )
+        if not self.meanshape:
+            self.cls_mean_size = np.zeros_like(self.cls_mean_size, dtype=np.float32)
+
+        self.downsample = 32
+        self.pd = PhotometricDistort()
+        self.clip_2d = cfg.get("clip_2d", False)
+
+    def get_image(self, idx):
+        img_file = os.path.join(self.image_dir, "%06d.png" % idx)
+        return Image.open(img_file)
+
+    def get_label(self, idx):
+        return get_objects_from_label(
+            os.path.join(self.label_dir, "%06d.txt" % idx)
+        )
+
+    def get_calib(self, idx):
+        return Calibration(os.path.join(self.calib_dir, "%06d.txt" % idx))
+
+    def eval(self, results_dir, logger):
+        """Official KITTI AP eval over written results (kitti_dataset.py:101-116)."""
+        from ..eval.kitti_eval import kitti_common as kitti
+        from ..eval.kitti_eval.eval import get_official_eval_result
+
+        logger.info("==> Loading detections and GTs...")
+        img_ids = [int(i) for i in self.idx_list]
+        dt_annos = kitti.get_label_annos(results_dir)
+        gt_annos = kitti.get_label_annos(self.label_dir, img_ids)
+        test_id = {"Car": 0, "Pedestrian": 1, "Cyclist": 2}
+        logger.info("==> Evaluating (official) ...")
+        car_moderate = 0
+        for category in self.writelist:
+            if category not in test_id:
+                continue
+            results_str, results_dict, mAP3d_R40 = get_official_eval_result(
+                gt_annos, dt_annos, test_id[category]
+            )
+            if category == "Car":
+                car_moderate = mAP3d_R40
+            logger.info(results_str)
+        return car_moderate
+
+    def __len__(self):
+        return len(self.idx_list)
+
+    def __getitem__(self, item):
+        index = int(self.idx_list[item])
+        img = self.get_image(index)
+        img_size = np.array(img.size)
+        features_size = self.resolution // self.downsample
+
+        center = np.array(img_size) / 2
+        crop_size, crop_scale = img_size, 1
+        random_flip_flag, random_crop_flag = False, False
+
+        if self.data_augmentation:
+            if self.aug_pd:
+                img = np.array(img).astype(np.float32)
+                img = self.pd(img).astype(np.uint8)
+                img = Image.fromarray(img)
+            if np.random.random() < self.random_flip:
+                random_flip_flag = True
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            if self.aug_crop and np.random.random() < self.random_crop:
+                random_crop_flag = True
+                crop_scale = np.clip(
+                    np.random.randn() * self.scale + 1,
+                    1 - self.scale, 1 + self.scale,
+                )
+                crop_size = img_size * crop_scale
+                center[0] += img_size[0] * np.clip(
+                    np.random.randn() * self.shift, -2 * self.shift, 2 * self.shift
+                )
+                center[1] += img_size[1] * np.clip(
+                    np.random.randn() * self.shift, -2 * self.shift, 2 * self.shift
+                )
+
+        trans, trans_inv = get_affine_transform(
+            center, crop_size, 0, self.resolution, inv=1
+        )
+        img = img.transform(
+            tuple(self.resolution.tolist()),
+            method=Image.AFFINE,
+            data=tuple(trans_inv.reshape(-1).tolist()),
+            resample=Image.BILINEAR,
+        )
+
+        img = np.array(img).astype(np.float32) / 255.0
+        img = (img - self.mean) / self.std  # NHWC stays
+
+        info = {
+            "img_id": index,
+            "img_size": img_size.astype(np.float32),
+            "bbox_downsample_ratio": (img_size / features_size).astype(np.float32),
+        }
+
+        if self.split == "test":
+            calib = self.get_calib(index)
+            return img, calib.P2, self._empty_targets(img_size), info
+
+        objects = self.get_label(index)
+        calib = self.get_calib(index)
+
+        if random_flip_flag:
+            if self.aug_calib:
+                calib.flip(img_size)
+            for obj in objects:
+                x1, _, x2, _ = obj.box2d
+                obj.box2d[0], obj.box2d[2] = img_size[0] - x2, img_size[0] - x1
+                obj.alpha = np.pi - obj.alpha
+                obj.ry = np.pi - obj.ry
+                if self.aug_calib:
+                    obj.pos[0] *= -1
+                if obj.alpha > np.pi:
+                    obj.alpha -= 2 * np.pi
+                if obj.alpha < -np.pi:
+                    obj.alpha += 2 * np.pi
+                if obj.ry > np.pi:
+                    obj.ry -= 2 * np.pi
+                if obj.ry < -np.pi:
+                    obj.ry += 2 * np.pi
+
+        targets = self._encode_targets(
+            objects, calib, trans, img_size, random_flip_flag, crop_scale
+        )
+        targets["img_size"] = img_size.astype(np.float32)
+        return img, calib.P2, targets, info
+
+    def _empty_targets(self, img_size):
+        M = self.max_objs
+        t = {
+            "calibs": np.zeros((M, 3, 4), np.float32),
+            "labels": np.zeros((M,), np.int32),
+            "boxes": np.zeros((M, 4), np.float32),
+            "boxes_3d": np.zeros((M, 6), np.float32),
+            "depth": np.zeros((M, 1), np.float32),
+            "size_2d": np.zeros((M, 2), np.float32),
+            "size_3d": np.zeros((M, 3), np.float32),
+            "src_size_3d": np.zeros((M, 3), np.float32),
+            "heading_bin": np.zeros((M, 1), np.int32),
+            "heading_res": np.zeros((M, 1), np.float32),
+            "mask": np.zeros((M,), bool),
+            "img_size": img_size.astype(np.float32),
+        }
+        return t
+
+    def _encode_targets(self, objects, calib, trans, img_size,
+                        random_flip_flag, crop_scale):
+        t = self._empty_targets(img_size)
+        object_num = min(len(objects), self.max_objs)
+
+        for i in range(object_num):
+            obj = objects[i]
+            if obj.cls_type not in self.writelist:
+                continue
+            if obj.level_str == "UnKnown" or obj.pos[-1] < 2:
+                continue
+            if obj.pos[-1] > 65:
+                continue
+
+            bbox_2d = obj.box2d.copy()
+            bbox_2d[:2] = affine_transform(bbox_2d[:2], trans)
+            bbox_2d[2:] = affine_transform(bbox_2d[2:], trans)
+
+            center_2d = np.array(
+                [(bbox_2d[0] + bbox_2d[2]) / 2, (bbox_2d[1] + bbox_2d[3]) / 2],
+                dtype=np.float32,
+            )
+            corner_2d = bbox_2d.copy()
+
+            center_3d = obj.pos + [0, -obj.h / 2, 0]
+            center_3d = center_3d.reshape(-1, 3)
+            center_3d, _ = calib.rect_to_img(center_3d)
+            center_3d = center_3d[0]
+            if random_flip_flag and not self.aug_calib:
+                center_3d[0] = img_size[0] - center_3d[0]
+            center_3d = affine_transform(center_3d.reshape(-1), trans)
+
+            if not (0 <= center_3d[0] < self.resolution[0]):
+                continue
+            if not (0 <= center_3d[1] < self.resolution[1]):
+                continue
+
+            cls_id = self.cls2id[obj.cls_type]
+
+            w, h = bbox_2d[2] - bbox_2d[0], bbox_2d[3] - bbox_2d[1]
+            size_2d = np.array([w, h], np.float32)
+            center_2d_norm = center_2d / self.resolution
+            size_2d_norm = size_2d / self.resolution
+            corner_2d_norm = corner_2d.copy()
+            corner_2d_norm[0:2] = corner_2d[0:2] / self.resolution
+            corner_2d_norm[2:4] = corner_2d[2:4] / self.resolution
+            center_3d_norm = center_3d / self.resolution
+
+            l = center_3d_norm[0] - corner_2d_norm[0]
+            r = corner_2d_norm[2] - center_3d_norm[0]
+            tt = center_3d_norm[1] - corner_2d_norm[1]
+            b = corner_2d_norm[3] - center_3d_norm[1]
+            if l < 0 or r < 0 or tt < 0 or b < 0:
+                if self.clip_2d:
+                    l, r = np.clip(l, 0, 1), np.clip(r, 0, 1)
+                    tt, b = np.clip(tt, 0, 1), np.clip(b, 0, 1)
+                else:
+                    continue
+
+            t["labels"][i] = cls_id
+            t["size_2d"][i] = size_2d
+            t["boxes"][i] = [
+                center_2d_norm[0], center_2d_norm[1],
+                size_2d_norm[0], size_2d_norm[1],
+            ]
+            t["boxes_3d"][i] = [center_3d_norm[0], center_3d_norm[1], l, r, tt, b]
+
+            if self.depth_scale == "normal":
+                t["depth"][i] = obj.pos[-1] * crop_scale
+            elif self.depth_scale == "inverse":
+                t["depth"][i] = obj.pos[-1] / crop_scale
+            else:  # 'none'
+                t["depth"][i] = obj.pos[-1]
+
+            heading_angle = calib.ry2alpha(
+                obj.ry, (obj.box2d[0] + obj.box2d[2]) / 2
+            )
+            if heading_angle > np.pi:
+                heading_angle -= 2 * np.pi
+            if heading_angle < -np.pi:
+                heading_angle += 2 * np.pi
+            hb, hr = angle2class_np(heading_angle)
+            t["heading_bin"][i] = hb
+            t["heading_res"][i] = hr
+
+            src_size_3d = np.array([obj.h, obj.w, obj.l], np.float32)
+            t["src_size_3d"][i] = src_size_3d
+            t["size_3d"][i] = src_size_3d - self.cls_mean_size[cls_id]
+
+            if obj.trucation <= 0.5 and obj.occlusion <= 2:
+                t["mask"][i] = True
+
+            t["calibs"][i] = calib.P2
+
+        return t

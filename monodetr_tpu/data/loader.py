@@ -1,0 +1,134 @@
+"""Host-side batched loader with threaded prefetch.
+
+Replaces the reference's torch DataLoader (dataloader_helper.py:12-36,
+4 workers, per-worker seeding, train shuffle, no drop_last).  Design for TPU
+feeding:
+
+  - fixed batch shapes: a trailing partial batch is padded by repeating the
+    last sample with an all-False target mask and `valid` flags, so XLA
+    compiles exactly one program per phase;
+  - a small thread pool decodes/warps images concurrently (PIL/cv2 release
+    the GIL) and a background thread keeps `prefetch` batches ready while
+    the device computes;
+  - per-epoch reseeding hook matching trainer_helper.py:74.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Tuple
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 num_workers: int = 4, seed: int = 444, prefetch: int = 2,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _index_order(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _collate(self, samples, n_valid) -> Tuple[Dict[str, np.ndarray], List]:
+        imgs = np.stack([s[0] for s in samples])
+        calibs = np.stack([s[1] for s in samples])
+        targets = {
+            k: np.stack([s[2][k] for s in samples])
+            for k in samples[0][2].keys()
+        }
+        # per-object calib copies (reference targets['calibs']) under a
+        # distinct key; batch['calibs'] is the image-level P2
+        targets["obj_calibs"] = targets.pop("calibs")
+        infos = [s[3] for s in samples]
+        batch = {
+            "images": imgs.astype(np.float32),
+            "calibs": calibs.astype(np.float32),
+            "img_sizes": targets.pop("img_size"),
+            "valid": (np.arange(len(samples)) < n_valid),
+            **targets,
+        }
+        # padded samples contribute no targets
+        batch["mask"] = batch["mask"] & batch["valid"][:, None]
+        return batch, infos[:n_valid]
+
+    def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], List]]:
+        order = self._index_order()
+        n = len(order)
+        batches = []
+        for s in range(0, n, self.batch_size):
+            idxs = order[s:s + self.batch_size].tolist()
+            if len(idxs) < self.batch_size:
+                if self.drop_last:
+                    continue
+                pad = self.batch_size - len(idxs)
+                idxs = idxs + [idxs[-1]] * pad
+                batches.append((idxs, self.batch_size - pad))
+            else:
+                batches.append((idxs, self.batch_size))
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for idxs, n_valid in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    out_q.put(self._collate(samples, n_valid))
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                out_q.put(e)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)
+
+
+def build_dataloader(cfg: Dict[str, Any], workers: int = 4):
+    """(train_loader, test_loader) — dataloader_helper.build_dataloader."""
+    from .kitti_dataset import KITTIDataset
+
+    train_set = KITTIDataset(split=cfg["train_split"], cfg=cfg)
+    test_set = KITTIDataset(split=cfg["test_split"], cfg=cfg)
+    train_loader = DataLoader(
+        train_set, batch_size=cfg["batch_size"], shuffle=True,
+        num_workers=workers,
+    )
+    test_loader = DataLoader(
+        test_set, batch_size=cfg["batch_size"], shuffle=False,
+        num_workers=workers,
+    )
+    return train_loader, test_loader

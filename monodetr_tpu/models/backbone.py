@@ -18,7 +18,7 @@ Weight transfer from torchvision/reference checkpoints is handled by
 `tools/convert_checkpoint.py`.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ class FrozenBN(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return x * scale + bias
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -42,11 +42,12 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = FrozenBN(name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
@@ -56,11 +57,12 @@ class Bottleneck(nn.Module):
             padding=[(self.dilation, self.dilation)] * 2,
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=False,
+            dtype=self.dtype,
             name="conv2",
         )(out)
         out = FrozenBN(name="bn2")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
         out = FrozenBN(name="bn3")(out)
         if self.downsample:
             identity = nn.Conv(
@@ -68,6 +70,7 @@ class Bottleneck(nn.Module):
                 (1, 1),
                 strides=(self.stride, self.stride),
                 use_bias=False,
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
             identity = FrozenBN(name="downsample_bn")(identity)
@@ -82,13 +85,16 @@ class ResNetBackbone(nn.Module):
 
     name_or_depth: str = "resnet50"
     dilation: bool = False  # dilate last stage (stride 32 -> 16)
+    dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize blocks (memory for compute)
 
     @nn.compact
     def __call__(self, x):
         blocks = STAGE_BLOCKS[self.name_or_depth]
+        x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, name="conv1",
+            use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         x = FrozenBN(name="bn1")(x)
         x = nn.relu(x)
@@ -103,12 +109,14 @@ class ResNetBackbone(nn.Module):
                 # torchvision replace_stride_with_dilation: first block keeps
                 # dilation 1, later blocks dilate by the replaced stride.
                 stride, dilation = 1, 2
+            block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
             for b in range(blocks[stage]):
-                x = Bottleneck(
+                x = block_cls(
                     features=width,
                     stride=stride if b == 0 else 1,
                     dilation=1 if b == 0 else dilation,
                     downsample=(b == 0),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if stage >= 1:

@@ -120,7 +120,12 @@ def loss_dims(outputs, targets, matched_q, num_boxes):
     n = jnp.maximum(valid.sum() * 3.0, 1.0)
 
     abs_err = jnp.abs(src - tgt)
-    dim_loss = abs_err / jax.lax.stop_gradient(jnp.broadcast_to(tgt, src.shape))
+    # padded target sizes are 0; divide by 1 there so masked-out entries do
+    # not inject inf into the BACKWARD pass (0-cotangent * inf = NaN)
+    safe_tgt = jax.lax.stop_gradient(
+        jnp.where(valid, jnp.broadcast_to(tgt, src.shape), 1.0)
+    )
+    dim_loss = abs_err / safe_tgt
     abs_mean = jnp.where(valid, abs_err, 0.0).sum() / n
     dim_mean = jnp.where(valid, dim_loss, 0.0).sum() / n
     comp = jax.lax.stop_gradient(abs_mean / dim_mean)
@@ -252,13 +257,33 @@ class SetCriterion:
         return losses
 
     def __call__(self, outputs, targets, train: bool = True):
+        """All decoder layers (final + aux) are stacked on a leading axis and
+        matched/scored by ONE vmapped instance of the matcher and loss set —
+        the reference loops python-level over aux outputs (monodetr.py:
+        518-531), which would inline dec_layers copies of the Hungarian
+        solver into the XLA program and multiply compile time."""
         group_num = self.group_num if train else 1
         num_boxes = jnp.maximum(
             targets["mask"].sum().astype(jnp.float32) * group_num, 1.0
         )
 
-        matched = self._match(outputs, targets, group_num)
-        losses = self._single(outputs, targets, matched, num_boxes)
+        aux = outputs.get("aux_outputs", [])
+        layer_keys = ("pred_logits", "pred_boxes", "pred_3d_dim",
+                      "pred_depth", "pred_angle")
+        stacked = {
+            k: jnp.stack([a[k] for a in aux] + [outputs[k]]) for k in layer_keys
+        }  # [L, B, QG, .]; last entry = final layer
+
+        def one_layer(layer_outputs):
+            matched = self._match(layer_outputs, targets, group_num)
+            return self._single(layer_outputs, targets, matched, num_boxes)
+
+        per_layer = jax.vmap(one_layer)(stacked)  # dict of [L]
+
+        losses = {k: v[-1] for k, v in per_layer.items()}
+        for i in range(len(aux)):
+            losses.update({f"{k}_{i}": v[i] for k, v in per_layer.items()})
+
         losses.update(loss_cardinality(outputs, targets, group_num))
         losses.update(
             loss_depth_map(
@@ -267,11 +292,6 @@ class SetCriterion:
                 num_bins=self.num_depth_bins,
             )
         )
-
-        for i, aux in enumerate(outputs.get("aux_outputs", [])):
-            matched_i = self._match(aux, targets, group_num)
-            aux_losses = self._single(aux, targets, matched_i, num_boxes)
-            losses.update({f"{k}_{i}": v for k, v in aux_losses.items()})
         return losses
 
     def total(self, losses: Dict[str, jnp.ndarray]) -> jnp.ndarray:

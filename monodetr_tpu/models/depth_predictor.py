@@ -12,6 +12,8 @@ Parity with reference depth_predictor/depth_predictor.py:
 Everything is NHWC / [B, T, C]; masks are dropped (always all-valid).
 """
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -26,21 +28,22 @@ class DepthEncoderLayer(nn.Module):
     nhead: int = 8
     dim_feedforward: int = 256
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, deterministic=True):
         q = k = src + pos
-        src2 = MultiheadAttention(self.nhead, self.dropout, name="self_attn")(
+        src2 = MultiheadAttention(self.nhead, self.dropout, dtype=self.dtype, name="self_attn")(
             q, k, src, deterministic=deterministic
         )
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
-        h = nn.Dense(self.dim_feedforward, name="linear1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(src.shape[-1], name="linear2")(h)
+        h = nn.Dense(src.shape[-1], dtype=self.dtype, name="linear2")(h)
         src = src + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
 
 class DepthPredictor(nn.Module):
@@ -48,6 +51,7 @@ class DepthPredictor(nn.Module):
     num_depth_bins: int = 80
     depth_min: float = 1e-3
     depth_max: float = 60.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, srcs, pos_16, deterministic=True):
@@ -62,22 +66,22 @@ class DepthPredictor(nn.Module):
         f8, f16, f32 = srcs[0], srcs[1], srcs[2]
         B, h16, w16, C = f16.shape
 
-        src_16 = ConvGN(self.d_model, kernel=1, name="proj")(f16)
+        src_16 = ConvGN(self.d_model, kernel=1, dtype=self.dtype, name="proj")(f16)
         up32 = jax.image.resize(
             f32, (B, h16, w16, f32.shape[-1]), method="bilinear"
         )
-        src_32 = ConvGN(self.d_model, kernel=1, name="upsample")(up32)
-        src_8 = ConvGN(self.d_model, kernel=3, stride=2, name="downsample")(f8)
+        src_32 = ConvGN(self.d_model, kernel=1, dtype=self.dtype, name="upsample")(up32)
+        src_8 = ConvGN(self.d_model, kernel=3, stride=2, dtype=self.dtype, name="downsample")(f8)
         src = (src_8 + src_16 + src_32) / 3
 
-        src = ConvGN(self.d_model, kernel=3, name="depth_head_0")(src)
+        src = ConvGN(self.d_model, kernel=3, dtype=self.dtype, name="depth_head_0")(src)
         src = nn.relu(src)
-        src = ConvGN(self.d_model, kernel=3, name="depth_head_1")(src)
+        src = ConvGN(self.d_model, kernel=3, dtype=self.dtype, name="depth_head_1")(src)
         src = nn.relu(src)
 
         depth_logits = nn.Conv(
-            self.num_depth_bins + 1, (1, 1), name="depth_classifier"
-        )(src)
+            self.num_depth_bins + 1, (1, 1), dtype=self.dtype, name="depth_classifier"
+        )(src).astype(jnp.float32)
 
         bin_values = jnp.asarray(
             lid_bin_values(self.num_depth_bins, self.depth_min, self.depth_max)
@@ -87,7 +91,7 @@ class DepthPredictor(nn.Module):
 
         tokens = src.reshape(B, h16 * w16, C)
         pos_tokens = pos_16.reshape(B, h16 * w16, C)
-        depth_embed = DepthEncoderLayer(name="depth_encoder")(
+        depth_embed = DepthEncoderLayer(dtype=self.dtype, name="depth_encoder")(
             tokens, pos_tokens, deterministic=deterministic
         )
 
@@ -99,6 +103,7 @@ class DepthPredictor(nn.Module):
         )
         d = jnp.clip(weighted_depth, 0.0, self.depth_max)
         depth_pos_embed_ip = interpolate_1d_embed(d, table).reshape(B, h16 * w16, C)
+        depth_pos_embed_ip = depth_pos_embed_ip.astype(self.dtype)
         depth_embed = depth_embed + depth_pos_embed_ip
 
         return depth_logits, depth_embed, weighted_depth, depth_pos_embed_ip

@@ -6,7 +6,7 @@ in-proj + out-proj, scale 1/sqrt(d_head)) so that reference checkpoints map
 which is what the TPU vector units and MXU want.
 """
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -19,12 +19,13 @@ class MLP(nn.Module):
     hidden_dim: int
     output_dim: int
     num_layers: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
             dim = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(dim, name=f"layers_{i}")(x)
+            x = nn.Dense(dim, dtype=self.dtype, name=f"layers_{i}")(x)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
         return x
@@ -42,6 +43,7 @@ class MultiheadAttention(nn.Module):
 
     num_heads: int
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True, attn_mask=None):
@@ -55,6 +57,9 @@ class MultiheadAttention(nn.Module):
             "in_proj_kernel", nn.initializers.xavier_uniform(), (d_model, 3 * d_model)
         )
         b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d_model,))
+        w = w.astype(self.dtype)
+        b = b.astype(self.dtype)
+        q, k, v = q.astype(self.dtype), k.astype(self.dtype), v.astype(self.dtype)
         qp = q @ w[:, :d_model] + b[:d_model]
         kp = k @ w[:, d_model : 2 * d_model] + b[d_model : 2 * d_model]
         vp = v @ w[:, 2 * d_model :] + b[2 * d_model :]
@@ -72,7 +77,7 @@ class MultiheadAttention(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh.astype(attn.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, d_model)
-        return nn.Dense(d_model, name="out_proj")(out)
+        return nn.Dense(d_model, dtype=self.dtype, name="out_proj")(out.astype(self.dtype))
 
 
 class ConvGN(nn.Module):
@@ -83,6 +88,7 @@ class ConvGN(nn.Module):
     kernel: int = 1
     stride: int = 1
     groups: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -92,9 +98,12 @@ class ConvGN(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
+            dtype=self.dtype,
             name="conv",
         )(x)
-        return nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="gn")(x)
+        return nn.GroupNorm(
+            num_groups=self.groups, epsilon=1e-5, dtype=self.dtype, name="gn"
+        )(x)
 
 
 class FFN(nn.Module):
@@ -107,12 +116,13 @@ class FFN(nn.Module):
     d_ffn: int
     dropout: float = 0.1
     activation: Callable = nn.relu
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.d_ffn, name="linear1")(x)
+        h = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(x)
         h = self.activation(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(x.shape[-1], name="linear2")(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="linear2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x + h)

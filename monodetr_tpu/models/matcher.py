@@ -130,6 +130,10 @@ def matching_cost(pred_logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
         + cost_class * cls_cost
         + cost_giou * giou_cost
     )
+    # non-finite costs would break the augmenting-path search (its while
+    # loops assume totally ordered costs) — route them to BIG_COST so a bad
+    # forward pass yields a degraded match, never a hang
+    C = jnp.where(jnp.isfinite(C), C, BIG_COST)
     return jnp.where(tgt_valid[None, :], C, BIG_COST)
 
 

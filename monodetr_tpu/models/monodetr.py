@@ -44,18 +44,25 @@ class MonoDETR(nn.Module):
     depth_max: float = 60.0
     with_box_refine: bool = True
     init_box: bool = False
+    dtype: Any = jnp.float32  # compute dtype (bf16 for the TPU fast path)
+    remat: bool = False  # rematerialize backbone blocks + encoder layers
 
     def setup(self):
         self.backbone = ResNetBackbone(
-            name_or_depth=self.backbone_name, dilation=self.dilation, name="backbone"
+            name_or_depth=self.backbone_name, dilation=self.dilation,
+            dtype=self.dtype, remat=self.remat, name="backbone"
         )
         # 1x1 conv+GN per backbone level + stride-2 3x3 for the synthesized
         # extra level (monodetr.py:78-99)
         projs = []
         for i in range(3):
-            projs.append(ConvGN(self.hidden_dim, kernel=1, name=f"input_proj_{i}"))
+            projs.append(
+                ConvGN(self.hidden_dim, kernel=1, dtype=self.dtype,
+                       name=f"input_proj_{i}")
+            )
         projs.append(
-            ConvGN(self.hidden_dim, kernel=3, stride=2, name="input_proj_3")
+            ConvGN(self.hidden_dim, kernel=3, stride=2, dtype=self.dtype,
+                   name="input_proj_3")
         )
         self.input_proj = projs
 
@@ -64,6 +71,7 @@ class MonoDETR(nn.Module):
             num_depth_bins=self.num_depth_bins,
             depth_min=self.depth_min,
             depth_max=self.depth_max,
+            dtype=self.dtype,
             name="depth_predictor",
         )
         self.transformer = DepthAwareTransformer(
@@ -78,6 +86,8 @@ class MonoDETR(nn.Module):
             dec_n_points=self.dec_n_points,
             group_num=self.group_num,
             num_queries=self.num_queries,
+            dtype=self.dtype,
+            remat=self.remat,
             name="transformer",
         )
 
@@ -94,22 +104,27 @@ class MonoDETR(nn.Module):
         self.class_embed = [
             nn.Dense(
                 self.num_classes,
+                dtype=self.dtype,
                 bias_init=nn.initializers.constant(bias_value),
                 name=f"class_embed_{i}",
             )
             for i in range(n_pred)
         ]
         self.bbox_embed = [
-            MLP(self.hidden_dim, 6, 3, name=f"bbox_embed_{i}") for i in range(n_pred)
+            MLP(self.hidden_dim, 6, 3, dtype=self.dtype, name=f"bbox_embed_{i}")
+            for i in range(n_pred)
         ]
         self.dim_embed_3d = [
-            MLP(self.hidden_dim, 3, 2, name=f"dim_embed_3d_{i}") for i in range(n_pred)
+            MLP(self.hidden_dim, 3, 2, dtype=self.dtype, name=f"dim_embed_3d_{i}")
+            for i in range(n_pred)
         ]
         self.angle_embed = [
-            MLP(self.hidden_dim, 24, 2, name=f"angle_embed_{i}") for i in range(n_pred)
+            MLP(self.hidden_dim, 24, 2, dtype=self.dtype, name=f"angle_embed_{i}")
+            for i in range(n_pred)
         ]
         self.depth_embed = [
-            MLP(self.hidden_dim, 2, 2, name=f"depth_embed_{i}") for i in range(n_pred)
+            MLP(self.hidden_dim, 2, 2, dtype=self.dtype, name=f"depth_embed_{i}")
+            for i in range(n_pred)
         ]
 
     def __call__(self, images, calibs, img_sizes, train: bool = False,
@@ -156,9 +171,9 @@ class MonoDETR(nn.Module):
         fy = calibs[:, 0, 0][:, None]  # focal (monodetr.py:242 uses P2[0,0])
 
         for lvl in range(self.dec_layers):
-            reference = refs_in[lvl]
+            reference = refs_in[lvl].astype(jnp.float32)
             ref_unact = inverse_sigmoid(reference)
-            tmp = self.bbox_embed[lvl](hs[lvl])
+            tmp = self.bbox_embed[lvl](hs[lvl]).astype(jnp.float32)
             if ref_unact.shape[-1] == 6:
                 tmp = tmp + ref_unact
             else:
@@ -166,9 +181,11 @@ class MonoDETR(nn.Module):
             coord = nn.sigmoid(tmp)  # [B, Q, 6] cxcylrtb, normalized
             outputs_coords.append(coord)
 
-            outputs_classes.append(self.class_embed[lvl](hs[lvl]))
+            outputs_classes.append(
+                self.class_embed[lvl](hs[lvl]).astype(jnp.float32)
+            )
 
-            size3d = inter_dims[lvl]  # [B, Q, 3]
+            size3d = inter_dims[lvl].astype(jnp.float32)  # [B, Q, 3]
 
             # depth_geo: f * h3d / h2d (monodetr.py:240-242)
             box2d_height_norm = coord[:, :, 4] + coord[:, :, 5]
@@ -176,7 +193,7 @@ class MonoDETR(nn.Module):
             depth_geo = size3d[:, :, 0] / box2d_height * fy
 
             # depth_reg
-            depth_reg = self.depth_embed[lvl](hs[lvl])  # [B, Q, 2]
+            depth_reg = self.depth_embed[lvl](hs[lvl]).astype(jnp.float32)  # [B, Q, 2]
 
             # depth_map readout: bilinear sample of weighted depth at the 3D
             # center, coords detached (monodetr.py:248-253, align_corners=True)
@@ -197,12 +214,14 @@ class MonoDETR(nn.Module):
                 jnp.stack([depth_ave, depth_reg[:, :, 1]], axis=-1)
             )
 
-            outputs_angles.append(self.angle_embed[lvl](hs[lvl]))
+            outputs_angles.append(
+                self.angle_embed[lvl](hs[lvl]).astype(jnp.float32)
+            )
 
         out = {
             "pred_logits": outputs_classes[-1],
             "pred_boxes": outputs_coords[-1],
-            "pred_3d_dim": inter_dims[-1],
+            "pred_3d_dim": inter_dims[-1].astype(jnp.float32),
             "pred_depth": outputs_depths[-1],
             "pred_angle": outputs_angles[-1],
             "pred_depth_map_logits": depth_logits,
@@ -244,4 +263,6 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         depth_max=float(cfg.get("depth_max", 60.0)),
         with_box_refine=cfg.get("with_box_refine", True),
         init_box=cfg.get("init_box", False),
+        dtype=jnp.bfloat16 if cfg.get("dtype", "float32") in ("bf16", "bfloat16") else jnp.float32,
+        remat=cfg.get("remat", False),
     )

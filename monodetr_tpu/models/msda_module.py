@@ -9,6 +9,8 @@ weights, ms_deform_attn.py:106-120) which is load-bearing for convergence.
 import math
 from typing import Sequence, Tuple
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +34,7 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, reference_points, value_tokens, spatial_shapes):
@@ -47,11 +50,12 @@ class MSDeformAttn(nn.Module):
         H, L, P = self.n_heads, self.n_levels, self.n_points
         D = self.d_model // H
 
-        value = nn.Dense(self.d_model, name="value_proj")(value_tokens)
+        value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(value_tokens)
         value = value.reshape(B, S, H, D)
 
         offsets = nn.Dense(
             H * L * P * 2,
+            dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
                 _offset_bias_init(H, L, P), dtype
@@ -61,6 +65,7 @@ class MSDeformAttn(nn.Module):
 
         attn = nn.Dense(
             H * L * P,
+            dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="attention_weights",
@@ -90,5 +95,7 @@ class MSDeformAttn(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 6")
 
-        out = ms_deform_attn(value, tuple(spatial_shapes), loc, attn)
-        return nn.Dense(self.d_model, name="output_proj")(out)
+        out = ms_deform_attn(
+            value, tuple(spatial_shapes), loc, attn.astype(self.dtype)
+        )
+        return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)

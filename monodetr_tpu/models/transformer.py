@@ -21,7 +21,7 @@ overwrites it (depthaware_transformer.py:471 vs :477).  sa_v_proj therefore
 exists in checkpoints but is dead; we do not create it.
 """
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -52,16 +52,17 @@ class VisualEncoderLayer(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, deterministic=True):
         src2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            name="self_attn",
+            dtype=self.dtype, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
-        return FFN(self.d_ffn, self.dropout, name="ffn")(src, deterministic)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
+        return FFN(self.d_ffn, self.dropout, dtype=self.dtype, name="ffn")(src, deterministic)
 
 
 class DepthAwareDecoderLayer(nn.Module):
@@ -73,6 +74,7 @@ class DepthAwareDecoderLayer(nn.Module):
     n_points: int = 4
     group_num: int = 11
     num_queries: int = 50
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -80,19 +82,19 @@ class DepthAwareDecoderLayer(nn.Module):
         B = tgt.shape[0]
 
         # (1) depth cross-attention: raw tgt queries x depth tokens (:456-462)
-        tgt2 = MultiheadAttention(self.n_heads, self.dropout, name="cross_attn_depth")(
-            tgt, depth_embed, depth_embed, deterministic=deterministic
-        )
+        tgt2 = MultiheadAttention(
+            self.n_heads, self.dropout, dtype=self.dtype, name="cross_attn_depth"
+        )(tgt, depth_embed, depth_embed, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm_depth")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_depth")(tgt)
 
         # (2) group-wise self-attention (:465-503)
         qk = tgt + query_pos
-        q = nn.Dense(self.d_model, name="sa_qcontent_proj")(qk) + nn.Dense(
-            self.d_model, name="sa_qpos_proj"
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="sa_qcontent_proj")(qk) + nn.Dense(
+            self.d_model, dtype=self.dtype, name="sa_qpos_proj"
         )(qk)
-        k = nn.Dense(self.d_model, name="sa_kcontent_proj")(qk) + nn.Dense(
-            self.d_model, name="sa_kpos_proj"
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="sa_kcontent_proj")(qk) + nn.Dense(
+            self.d_model, dtype=self.dtype, name="sa_kpos_proj"
         )(qk)
         v = tgt  # reference overwrites sa_v_proj output with raw tgt (:477)
 
@@ -100,27 +102,27 @@ class DepthAwareDecoderLayer(nn.Module):
             g, nq = self.group_num, self.num_queries
             def regroup(x):
                 return x.reshape(B, g, nq, self.d_model).reshape(B * g, nq, self.d_model)
-            tgt2 = MultiheadAttention(self.n_heads, self.dropout, name="self_attn")(
-                regroup(q), regroup(k), regroup(v), deterministic=deterministic
-            )
+            tgt2 = MultiheadAttention(
+                self.n_heads, self.dropout, dtype=self.dtype, name="self_attn"
+            )(regroup(q), regroup(k), regroup(v), deterministic=deterministic)
             tgt2 = tgt2.reshape(B, g * nq, self.d_model)
         else:
-            tgt2 = MultiheadAttention(self.n_heads, self.dropout, name="self_attn")(
-                q, k, v, deterministic=deterministic
-            )
+            tgt2 = MultiheadAttention(
+                self.n_heads, self.dropout, dtype=self.dtype, name="self_attn"
+            )(q, k, v, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
 
         # (3) deformable cross-attention into encoder memory (:506-508)
         tgt2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            name="cross_attn",
+            dtype=self.dtype, name="cross_attn",
         )(tgt + query_pos, reference_points, src, spatial_shapes)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
-        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
 
         # (4) FFN
-        return FFN(self.d_ffn, self.dropout, name="ffn")(tgt, deterministic)
+        return FFN(self.d_ffn, self.dropout, dtype=self.dtype, name="ffn")(tgt, deterministic)
 
 
 class DepthAwareTransformer(nn.Module):
@@ -144,6 +146,8 @@ class DepthAwareTransformer(nn.Module):
     dec_n_points: int = 4
     group_num: int = 11
     num_queries: int = 50
+    dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, srcs, pos_embeds, query_embed, depth_embed,
@@ -166,14 +170,14 @@ class DepthAwareTransformer(nn.Module):
         )
         src_flat = jnp.concatenate(
             [s.reshape(B, -1, self.d_model) for s in srcs], axis=1
-        )
+        ).astype(self.dtype)
         pos_flat = jnp.concatenate(
             [
                 p.reshape(B, -1, self.d_model) + level_embed[l][None, None, :]
                 for l, p in enumerate(pos_embeds)
             ],
             axis=1,
-        )
+        ).astype(self.dtype)
 
         # ---- encoder ----
         enc_ref = jnp.asarray(encoder_reference_points(spatial_shapes))
@@ -182,19 +186,23 @@ class DepthAwareTransformer(nn.Module):
             (B, enc_ref.shape[0], self.num_feature_levels, 2),
         )
         memory = src_flat
+        enc_cls = nn.remat(VisualEncoderLayer, static_argnums=(4, 5)) \
+            if self.remat else VisualEncoderLayer
         for i in range(self.num_encoder_layers):
-            memory = VisualEncoderLayer(
+            memory = enc_cls(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
+                dtype=self.dtype,
                 name=f"encoder_layer_{i}",
             )(memory, pos_flat, enc_ref, spatial_shapes, deterministic)
 
         # ---- decoder prep (:283-287) ----
+        query_embed = query_embed.astype(self.dtype)
         query_pos, tgt = jnp.split(query_embed, 2, axis=1)
         query_pos = jnp.broadcast_to(query_pos[None], (B,) + query_pos.shape)
         tgt = jnp.broadcast_to(tgt[None], (B,) + tgt.shape)
         reference_points = nn.sigmoid(
-            nn.Dense(2, name="reference_points")(query_pos)
+            nn.Dense(2, dtype=jnp.float32, name="reference_points")(query_pos)
         )
         init_reference = reference_points
 
@@ -209,17 +217,18 @@ class DepthAwareTransformer(nn.Module):
             tgt = DepthAwareDecoderLayer(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.nhead, self.dec_n_points,
-                self.group_num, self.num_queries,
+                self.group_num, self.num_queries, dtype=self.dtype,
                 name=f"decoder_layer_{lid}",
             )(tgt, query_pos, ref_input, memory, spatial_shapes, depth_embed,
               train, deterministic)
 
             hs_list.append(tgt)
             refs_in_list.append(reference_points)
-            dims_list.append(dim_heads[lid](tgt))
+            dims_list.append(dim_heads[lid](tgt).astype(jnp.float32))
 
             # iterative refinement with detach (:601-613)
-            tmp = bbox_heads[lid](tgt)
+            tmp = bbox_heads[lid](tgt).astype(jnp.float32)
+            reference_points = reference_points.astype(jnp.float32)
             if ref_dim == 6:
                 new_ref = nn.sigmoid(tmp + inverse_sigmoid(reference_points))
             else:

@@ -78,15 +78,24 @@ def level_start_indices(spatial_shapes):
     return tuple(np.cumsum([0] + sizes[:-1]).tolist())
 
 
-def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights):
+def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
+                   chunk: int = 1024):
     """Fused-gather MSDA forward; differentiable via XLA autodiff.
 
-    See module docstring for shapes.  `spatial_shapes` must be a static
-    (python) sequence of (h, w) pairs.
+    The gathered corner tensor [B, H, Q, L*P*4, D] would be enormous for
+    encoder self-attention (21 GB at batch 16, Q = 10200) — instead the query
+    axis is processed in `chunk`-sized pieces under `lax.map` with
+    rematerialization, so both forward and backward peak at one chunk's
+    gather (the backward recomputes the gather and scatter-adds grad_value,
+    exactly what the reference CUDA col2im kernel does,
+    ms_deform_im2col_cuda.cuh:845-922).
+
+    `spatial_shapes` must be a static (python) sequence of (h, w) pairs.
     """
     B, S, H, D = value.shape
     Bq, Q, Hq, L, P, _ = sampling_locations.shape
     assert H == Hq and len(spatial_shapes) == L
+    K = L * P * 4
 
     starts = level_start_indices(spatial_shapes)
     idx, w = _corner_indices_and_weights(sampling_locations, spatial_shapes, starts)
@@ -94,16 +103,32 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights)
     # gathered row.  [B, Q, H, L, P, 4]
     w = w * attention_weights[..., None]
 
-    # One gather over the flattened sample axis.
-    # value -> [B, H, S, D]; indices -> [B, H, Q*L*P*4]
     value_t = jnp.swapaxes(value, 1, 2)  # [B, H, S, D]
-    idx_t = jnp.transpose(idx, (0, 2, 1, 3, 4, 5)).reshape(B, H, -1)  # [B,H,QLP4]
-    gathered = jnp.take_along_axis(
-        value_t, idx_t[..., None], axis=2
-    )  # [B, H, Q*L*P*4, D]
-    gathered = gathered.reshape(B, H, Q, L * P * 4, D)
-    w_t = jnp.transpose(w, (0, 2, 1, 3, 4, 5)).reshape(B, H, Q, L * P * 4)
-    out = jnp.einsum("bhqk,bhqkd->bhqd", w_t, gathered)  # [B, H, Q, D]
+    idx_t = jnp.transpose(idx, (0, 2, 1, 3, 4, 5)).reshape(B, H, Q, K)
+    w_t = jnp.transpose(w, (0, 2, 1, 3, 4, 5)).reshape(B, H, Q, K)
+
+    def gather_chunk(idx_c, w_c):
+        """[B, H, q, K] -> [B, H, q, D]"""
+        q = idx_c.shape[2]
+        g = jnp.take_along_axis(
+            value_t, idx_c.reshape(B, H, q * K)[..., None], axis=2
+        ).reshape(B, H, q, K, D)
+        return jnp.einsum("bhqk,bhqkd->bhqd", w_c, g)
+
+    if Q <= chunk:
+        out = gather_chunk(idx_t, w_t)
+    else:
+        n = -(-Q // chunk)
+        pad = n * chunk - Q
+        idx_p = jnp.pad(idx_t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        w_p = jnp.pad(w_t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        idx_c = idx_p.reshape(B, H, n, chunk, K).transpose(2, 0, 1, 3, 4)
+        w_c = w_p.reshape(B, H, n, chunk, K).transpose(2, 0, 1, 3, 4)
+        out = jax.lax.map(
+            jax.checkpoint(lambda args: gather_chunk(*args)), (idx_c, w_c)
+        )  # [n, B, H, chunk, D]
+        out = out.transpose(1, 2, 0, 3, 4).reshape(B, H, n * chunk, D)[:, :, :Q]
+
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D)
 
 

@@ -1,0 +1,30 @@
+"""Learning-rate schedule: per-epoch multiplicative step decay + optional
+5-epoch cosine warmup.
+
+Parity with lib/helpers/scheduler_helper.py:6-18 + trainer_helper.py:80-83:
+the warmup scheduler (init_lr 1e-5, cosine over 5 epochs) is stepped for
+epochs < 5, the step-decay LambdaLR otherwise.  LR is a pure function of the
+epoch here — the trainer passes it into the jitted step as a scalar.
+"""
+
+import math
+from typing import Any, Dict
+
+
+def lr_at_epoch(cfg_lr: Dict[str, Any], base_lr: float, epoch: int) -> float:
+    """LR used *during* epoch `epoch` (0-based).
+
+    Reference semantics: schedulers are stepped after each epoch, so epoch 0
+    runs at base_lr (or warmup(0) = init_lr); epoch e runs at the value after
+    e steps.
+    """
+    warmup = cfg_lr.get("warmup", False)
+    if warmup and epoch < 5:
+        init_lr = 0.00001
+        return init_lr + (base_lr - init_lr) * (1 - math.cos(math.pi * epoch / 5)) / 2
+
+    decay = 1.0
+    for step in cfg_lr.get("decay_list", []):
+        if epoch >= step:
+            decay *= cfg_lr.get("decay_rate", 0.1)
+    return base_lr * decay

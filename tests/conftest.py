@@ -8,7 +8,10 @@ nn.DataParallel).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox pre-sets JAX_PLATFORMS=axon (real TPU) and its sitecustomize
+# imports jax at interpreter startup, so the env var is already baked into
+# jax.config — override through the config API, not the environment.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 import numpy as np
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # Persistent compilation cache: repeated test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

@@ -1,0 +1,130 @@
+"""Data pipeline tests over the synthetic KITTI fixture: shapes, target
+encoding consistency (boxes_3d ↔ projected 3D centers), loader batching +
+padding, augmentation toggles."""
+
+import numpy as np
+import pytest
+
+from monodetr_tpu.data import KITTIDataset
+from monodetr_tpu.data.loader import DataLoader
+from tests.synthetic_kitti import make_synthetic_kitti
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    return make_synthetic_kitti(str(root), n_train=6, n_val=3)
+
+
+BASE_CFG = {
+    "root_dir": None,
+    "writelist": ["Car"],
+    "aug_pd": False,
+    "aug_crop": False,
+    "random_flip": 0.0,
+    "random_crop": 0.0,
+    "scale": 0.05,
+    "shift": 0.05,
+    "depth_scale": "normal",
+}
+
+
+def make_cfg(root, **kw):
+    cfg = dict(BASE_CFG)
+    cfg["root_dir"] = root
+    cfg.update(kw)
+    return cfg
+
+
+def test_getitem_shapes_and_encoding(kitti_root):
+    ds = KITTIDataset("train", make_cfg(kitti_root))
+    img, calib_p2, targets, info = ds[0]
+    assert img.shape == (384, 1280, 3)
+    assert img.dtype == np.float32
+    assert calib_p2.shape == (3, 4)
+    assert targets["labels"].shape == (50,)
+    assert targets["boxes_3d"].shape == (50, 6)
+    assert targets["mask"].dtype == bool
+
+    n = targets["mask"].sum()
+    assert n >= 1
+    # cxcylrtb consistency: l,r,t,b >= 0 and within resolution
+    valid = targets["mask"]
+    b3d = targets["boxes_3d"][valid]
+    assert (b3d[:, 2:] >= 0).all()
+    assert (b3d[:, :2] >= 0).all() and (b3d[:, :2] <= 1).all()
+    # depth in the configured range
+    d = targets["depth"][valid]
+    assert (d >= 2).all() and (d <= 65).all()
+    # labels are Car
+    assert (targets["labels"][valid] == 1).all()
+
+
+def test_flip_augmentation_consistency(kitti_root):
+    cfg = make_cfg(kitti_root, random_flip=1.0)
+    ds_flip = KITTIDataset("train", cfg)
+    ds_none = KITTIDataset("train", make_cfg(kitti_root))
+    np.random.seed(0)
+    img_f, _, t_f, _ = ds_flip[0]
+    np.random.seed(0)
+    img_n, _, t_n, _ = ds_none[0]
+    vf, vn = t_f["mask"], t_n["mask"]
+    assert vf.sum() == vn.sum()
+    # flipped 3D center x ≈ 1 - original
+    f_cx = np.sort(t_f["boxes_3d"][vf][:, 0])
+    n_cx = np.sort(1 - t_n["boxes_3d"][vn][:, 0])
+    np.testing.assert_allclose(f_cx, n_cx, atol=1e-3)
+    # image actually flipped (resampling gives ~1px shifts; compare loosely)
+    assert np.abs(img_f - img_n[:, ::-1]).mean() < 0.1 * np.abs(img_f - img_n).mean() + 0.05
+
+
+def test_photometric_distort_runs(kitti_root):
+    cfg = make_cfg(kitti_root, aug_pd=True, aug_crop=True,
+                   random_flip=0.5, random_crop=0.5)
+    ds = KITTIDataset("train", cfg)
+    np.random.seed(1)
+    img, _, targets, _ = ds[1]
+    assert img.shape == (384, 1280, 3)
+    assert np.isfinite(img).all()
+
+
+def test_loader_batching_and_padding(kitti_root):
+    ds = KITTIDataset("val", make_cfg(kitti_root))
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 2  # 3 images -> 2 batches (last padded)
+    batch, infos = batches[-1]
+    assert batch["images"].shape == (2, 384, 1280, 3)
+    assert batch["valid"].tolist() == [True, False]
+    assert len(infos) == 1
+    # padded sample has no valid targets
+    assert not batch["mask"][1].any()
+
+
+def test_loader_shuffle_determinism(kitti_root):
+    ds = KITTIDataset("train", make_cfg(kitti_root))
+    dl = DataLoader(ds, batch_size=3, shuffle=True, num_workers=1, seed=7)
+    dl.set_epoch(3)
+    ids_a = [i["img_id"] for _, infos in dl for i in infos]
+    dl.set_epoch(3)
+    ids_b = [i["img_id"] for _, infos in dl for i in infos]
+    dl.set_epoch(4)
+    ids_c = [i["img_id"] for _, infos in dl for i in infos]
+    assert ids_a == ids_b
+    assert ids_a != ids_c
+
+
+def test_crop_scales_depth(kitti_root):
+    cfg = make_cfg(kitti_root, aug_crop=True, random_crop=1.0, scale=0.05)
+    ds = KITTIDataset("train", cfg)
+    np.random.seed(3)
+    _, _, t_crop, _ = ds[2]
+    ds_n = KITTIDataset("train", make_cfg(kitti_root))
+    _, _, t_none, _ = ds_n[2]
+    v = t_none["mask"]
+    if v.sum() and t_crop["mask"].sum():
+        # depth scaled by crop factor, not equal to raw depth
+        assert not np.allclose(
+            np.sort(t_crop["depth"][t_crop["mask"]].ravel()),
+            np.sort(t_none["depth"][v].ravel()),
+        )

@@ -1,0 +1,239 @@
+"""Convert a reference MonoDETR torch checkpoint (.pth) into this
+framework's parameter pytree (and checkpoint format).
+
+Usage:
+    python tools/convert_checkpoint.py <reference_ckpt.pth> <out_prefix>
+
+Covers every parameter of the shipped configuration (with_box_refine=True,
+two_stage/dab/dn off).  Notes:
+  - torch Linear weight [out, in] -> flax kernel [in, out];
+  - torch Conv weight [O, I, kh, kw] -> flax [kh, kw, I, O];
+  - FrozenBatchNorm (weight, bias, running_mean, running_var) folds into
+    (scale, bias): scale = w / sqrt(rv + eps), bias = b - rm * scale
+    (the exact compute of reference backbone.py:62-64);
+  - nn.MultiheadAttention in_proj_weight [3C, C] -> in_proj_kernel [C, 3C];
+  - dead reference parameters (sa_v_proj — overwritten at
+    depthaware_transformer.py:477; label_enc — DN-only) are skipped.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+BN_EPS = 1e-5
+
+
+def _lin(sd, torch_prefix):
+    """torch Linear -> {kernel, bias}."""
+    return {
+        "kernel": np.ascontiguousarray(sd[torch_prefix + ".weight"].T),
+        "bias": np.asarray(sd[torch_prefix + ".bias"]),
+    }
+
+
+def _conv(sd, torch_prefix, bias=True):
+    out = {
+        "kernel": np.ascontiguousarray(
+            np.transpose(sd[torch_prefix + ".weight"], (2, 3, 1, 0))
+        )
+    }
+    if bias:
+        out["bias"] = np.asarray(sd[torch_prefix + ".bias"])
+    return out
+
+
+def _frozen_bn(sd, torch_prefix):
+    w = np.asarray(sd[torch_prefix + ".weight"])
+    b = np.asarray(sd[torch_prefix + ".bias"])
+    rm = np.asarray(sd[torch_prefix + ".running_mean"])
+    rv = np.asarray(sd[torch_prefix + ".running_var"])
+    scale = w / np.sqrt(rv + BN_EPS)
+    return {"scale": scale, "bias": b - rm * scale}
+
+
+def _norm(sd, torch_prefix):
+    """torch LayerNorm/GroupNorm -> {scale, bias}."""
+    return {
+        "scale": np.asarray(sd[torch_prefix + ".weight"]),
+        "bias": np.asarray(sd[torch_prefix + ".bias"]),
+    }
+
+
+def _mha(sd, torch_prefix):
+    """torch nn.MultiheadAttention -> our MultiheadAttention params."""
+    return {
+        "in_proj_kernel": np.ascontiguousarray(sd[torch_prefix + ".in_proj_weight"].T),
+        "in_proj_bias": np.asarray(sd[torch_prefix + ".in_proj_bias"]),
+        "out_proj": _lin(sd, torch_prefix + ".out_proj"),
+    }
+
+
+def _mlp(sd, torch_prefix, n_layers):
+    return {f"layers_{i}": _lin(sd, f"{torch_prefix}.layers.{i}") for i in range(n_layers)}
+
+
+def _msda(sd, torch_prefix):
+    return {
+        "sampling_offsets": _lin(sd, torch_prefix + ".sampling_offsets"),
+        "attention_weights": _lin(sd, torch_prefix + ".attention_weights"),
+        "value_proj": _lin(sd, torch_prefix + ".value_proj"),
+        "output_proj": _lin(sd, torch_prefix + ".output_proj"),
+    }
+
+
+def _bottleneck(sd, torch_prefix, has_downsample):
+    out = {
+        "conv1": _conv(sd, torch_prefix + ".conv1", bias=False),
+        "bn1": _frozen_bn(sd, torch_prefix + ".bn1"),
+        "conv2": _conv(sd, torch_prefix + ".conv2", bias=False),
+        "bn2": _frozen_bn(sd, torch_prefix + ".bn2"),
+        "conv3": _conv(sd, torch_prefix + ".conv3", bias=False),
+        "bn3": _frozen_bn(sd, torch_prefix + ".bn3"),
+    }
+    if has_downsample:
+        out["downsample_conv"] = _conv(sd, torch_prefix + ".downsample.0", bias=False)
+        out["downsample_bn"] = _frozen_bn(sd, torch_prefix + ".downsample.1")
+    return out
+
+
+def _conv_gn(sd, conv_prefix, gn_prefix):
+    return {"conv": _conv(sd, conv_prefix), "gn": _norm(sd, gn_prefix)}
+
+
+STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+
+
+def convert_state_dict(sd, backbone="resnet50", enc_layers=3, dec_layers=3):
+    """torch state_dict (name -> numpy array) -> flax params['params'] dict."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p = {}
+
+    # ---- backbone (reference prefix: backbone.0.body.) ----
+    bb = "backbone.0.body."
+    bp = {
+        "conv1": _conv(sd, bb + "conv1", bias=False),
+        "bn1": _frozen_bn(sd, bb + "bn1"),
+    }
+    for stage, n_blocks in enumerate(STAGE_BLOCKS[backbone]):
+        for b in range(n_blocks):
+            bp[f"layer{stage + 1}_{b}"] = _bottleneck(
+                sd, f"{bb}layer{stage + 1}.{b}", has_downsample=(b == 0)
+            )
+    p["backbone"] = bp
+
+    # ---- input projections ----
+    for i in range(4):
+        p[f"input_proj_{i}"] = _conv_gn(
+            sd, f"input_proj.{i}.0", f"input_proj.{i}.1"
+        )
+
+    # ---- depth predictor ----
+    dp = "depth_predictor."
+    enc = dp + "depth_encoder.layers.0."
+    p["depth_predictor"] = {
+        "proj": _conv_gn(sd, dp + "proj.0", dp + "proj.1"),
+        "upsample": _conv_gn(sd, dp + "upsample.0", dp + "upsample.1"),
+        "downsample": _conv_gn(sd, dp + "downsample.0", dp + "downsample.1"),
+        "depth_head_0": _conv_gn(sd, dp + "depth_head.0", dp + "depth_head.1"),
+        "depth_head_1": _conv_gn(sd, dp + "depth_head.3", dp + "depth_head.4"),
+        "depth_classifier": _conv(sd, dp + "depth_classifier"),
+        "depth_encoder": {
+            "self_attn": _mha(sd, enc + "self_attn"),
+            "norm1": _norm(sd, enc + "norm1"),
+            "norm2": _norm(sd, enc + "norm2"),
+            "linear1": _lin(sd, enc + "linear1"),
+            "linear2": _lin(sd, enc + "linear2"),
+        },
+        "depth_pos_embed": np.asarray(sd[dp + "depth_pos_embed.weight"]),
+    }
+
+    # ---- transformer ----
+    tr = "depthaware_transformer."
+    tp = {
+        "level_embed": np.asarray(sd[tr + "level_embed"]),
+        "reference_points": _lin(sd, tr + "reference_points"),
+    }
+    for i in range(enc_layers):
+        e = f"{tr}encoder.layers.{i}."
+        tp[f"encoder_layer_{i}"] = {
+            "self_attn": _msda(sd, e + "self_attn"),
+            "norm1": _norm(sd, e + "norm1"),
+            "ffn": {
+                "linear1": _lin(sd, e + "linear1"),
+                "linear2": _lin(sd, e + "linear2"),
+                "norm": _norm(sd, e + "norm2"),
+            },
+        }
+    for i in range(dec_layers):
+        d = f"{tr}decoder.layers.{i}."
+        tp[f"decoder_layer_{i}"] = {
+            "cross_attn": _msda(sd, d + "cross_attn"),
+            "norm1": _norm(sd, d + "norm1"),
+            "cross_attn_depth": _mha(sd, d + "cross_attn_depth"),
+            "norm_depth": _norm(sd, d + "norm_depth"),
+            "self_attn": _mha(sd, d + "self_attn"),
+            "norm2": _norm(sd, d + "norm2"),
+            "sa_qcontent_proj": _lin(sd, d + "sa_qcontent_proj"),
+            "sa_qpos_proj": _lin(sd, d + "sa_qpos_proj"),
+            "sa_kcontent_proj": _lin(sd, d + "sa_kcontent_proj"),
+            "sa_kpos_proj": _lin(sd, d + "sa_kpos_proj"),
+            # sa_v_proj is dead in the reference (value = raw tgt) — skipped
+            "ffn": {
+                "linear1": _lin(sd, d + "linear1"),
+                "linear2": _lin(sd, d + "linear2"),
+                "norm": _norm(sd, d + "norm3"),
+            },
+        }
+    p["transformer"] = tp
+
+    # ---- queries + heads ----
+    p["query_embed"] = np.asarray(sd["query_embed.weight"])
+    for i in range(dec_layers):
+        p[f"class_embed_{i}"] = _lin(sd, f"class_embed.{i}")
+        p[f"bbox_embed_{i}"] = _mlp(sd, f"bbox_embed.{i}", 3)
+        p[f"dim_embed_3d_{i}"] = _mlp(sd, f"dim_embed_3d.{i}", 2)
+        p[f"angle_embed_{i}"] = _mlp(sd, f"angle_embed.{i}", 2)
+        p[f"depth_embed_{i}"] = _mlp(sd, f"depth_embed.{i}", 2)
+
+    return {"params": p}
+
+
+def main():
+    import pickle
+
+    import torch
+
+    src, out_prefix = sys.argv[1], sys.argv[2]
+    ckpt = torch.load(src, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state", ckpt)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    params = convert_state_dict(sd)
+
+    state = {
+        "epoch": ckpt.get("epoch", 0),
+        "model_state": params,
+        "optimizer_state": None,
+        "best_result": ckpt.get("best_result", 0.0),
+        "best_epoch": ckpt.get("best_epoch", 0),
+    }
+    with open(out_prefix + ".pth", "wb") as f:
+        pickle.dump(state, f)
+    n = sum(
+        v.size for v in _flat_leaves(params)
+    )
+    print(f"converted {src} -> {out_prefix}.pth ({n/1e6:.2f}M params)")
+
+
+def _flat_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _flat_leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+bash -c "python tools/train_val.py --config $1"

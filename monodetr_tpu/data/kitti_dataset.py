@@ -21,6 +21,7 @@ from PIL import Image, ImageFile
 
 ImageFile.LOAD_TRUNCATED_IMAGES = True
 
+from .. import native
 from ..ops.utils import angle2class_np
 from .augment import PhotometricDistort
 from .kitti_utils import (
@@ -165,15 +166,23 @@ class KITTIDataset:
         trans, trans_inv = get_affine_transform(
             center, crop_size, 0, self.resolution, inv=1
         )
-        img = img.transform(
-            tuple(self.resolution.tolist()),
-            method=Image.AFFINE,
-            data=tuple(trans_inv.reshape(-1).tolist()),
-            resample=Image.BILINEAR,
-        )
-
-        img = np.array(img).astype(np.float32) / 255.0
-        img = (img - self.mean) / self.std  # NHWC stays
+        if native.available():
+            # fused C++ warp + normalize (releases the GIL -> the threaded
+            # loader parallelizes across images)
+            img = native.warp_affine_normalize(
+                np.asarray(img, np.uint8), trans_inv,
+                int(self.resolution[0]), int(self.resolution[1]),
+                self.mean, self.std,
+            )
+        else:
+            img = img.transform(
+                tuple(self.resolution.tolist()),
+                method=Image.AFFINE,
+                data=tuple(trans_inv.reshape(-1).tolist()),
+                resample=Image.BILINEAR,
+            )
+            img = np.array(img).astype(np.float32) / 255.0
+            img = (img - self.mean) / self.std  # NHWC stays
 
         info = {
             "img_id": index,

@@ -119,9 +119,15 @@ def rotated_box_intersection(boxes1, boxes2):
 
 
 def rotate_iou_eval(boxes, qboxes, criterion=-1):
-    """Reference rotate_iou_gpu_eval semantics over [N,5] x [M,5]."""
+    """Reference rotate_iou_gpu_eval semantics over [N,5] x [M,5].
+
+    Uses the native C++ kernel when built (native/kitti_native.cpp),
+    otherwise the vectorized numpy path below."""
     boxes = np.asarray(boxes, np.float64)
     qboxes = np.asarray(qboxes, np.float64)
+    from ... import native
+    if native.available():
+        return native.rotated_iou(boxes, qboxes, criterion)
     inter = rotated_box_intersection(boxes, qboxes)
     area1 = (boxes[:, 2] * boxes[:, 3])[:, None]
     area2 = (qboxes[:, 2] * qboxes[:, 3])[None, :]

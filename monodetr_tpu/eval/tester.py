@@ -61,9 +61,14 @@ class Tester:
                             "checkpoint_best.pth missing; using %s" % fallback
                         )
                         checkpoint_path = fallback
-            assert os.path.exists(checkpoint_path), checkpoint_path
-            state = load_checkpoint(checkpoint_path, self.logger)
-            self.params = jax.device_put(state["model_state"])
+            if os.path.exists(checkpoint_path):
+                state = load_checkpoint(checkpoint_path, self.logger)
+                self.params = jax.device_put(state["model_state"])
+            else:
+                self.logger.info(
+                    "no checkpoint on disk (%s); evaluating in-memory params"
+                    % checkpoint_path
+                )
             self.inference()
             self.evaluate()
         else:

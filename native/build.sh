@@ -1,0 +1,6 @@
+#!/bin/bash
+# Build the native host kernels (.so loaded via ctypes).
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -shared -fPIC -std=c++17 -o libkitti_native.so kitti_native.cpp
+echo "built $(pwd)/libkitti_native.so"

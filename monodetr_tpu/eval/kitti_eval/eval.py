@@ -96,6 +96,56 @@ def clean_data(gt_anno, dt_anno, current_class, difficulty):
     return num_valid_gt, ignored_gt, ignored_dt, dc_bboxes
 
 
+def clean_data_by_distance(gt_anno, dt_anno, current_class, difficulty):
+    """Distance-bucketed filtering (eval.py:85-159, DISTANCE_COVER=False):
+    difficulty indexes the distance band 0-30m / 30-50m / 50-70m, with the
+    Hard occlusion/truncation/height gates applied throughout."""
+    MAX_DISTANCE = [30, 50, 70]
+    dc_bboxes, ignored_gt, ignored_dt = [], [], []
+    current_cls_name = CLASS_NAMES[current_class].lower()
+    num_valid_gt = 0
+    for i in range(len(gt_anno["name"])):
+        bbox = gt_anno["bbox"][i]
+        gt_name = gt_anno["name"][i].lower()
+        height = bbox[3] - bbox[1]
+        if gt_name == current_cls_name:
+            valid_class = 1
+        elif current_cls_name == "pedestrian" and gt_name == "person_sitting":
+            valid_class = 0
+        elif current_cls_name == "car" and gt_name == "van":
+            valid_class = 0
+        else:
+            valid_class = -1
+        dis = np.linalg.norm(gt_anno["location"][i])
+        ignore = (
+            gt_anno["occluded"][i] > MAX_OCCLUSION[2]
+            or gt_anno["truncated"][i] > MAX_TRUNCATION[2]
+            or height <= MIN_HEIGHT[2]
+            or dis > MAX_DISTANCE[difficulty]
+        )
+        if difficulty > 0 and dis <= MAX_DISTANCE[difficulty - 1]:
+            ignore = True
+        if valid_class == 1 and not ignore:
+            ignored_gt.append(0)
+            num_valid_gt += 1
+        elif valid_class == 0 or (ignore and valid_class == 1):
+            ignored_gt.append(1)
+        else:
+            ignored_gt.append(-1)
+        if gt_anno["name"][i] == "DontCare":
+            dc_bboxes.append(gt_anno["bbox"][i])
+    for i in range(len(dt_anno["name"])):
+        valid_class = 1 if dt_anno["name"][i].lower() == current_cls_name else -1
+        height = abs(dt_anno["bbox"][i, 3] - dt_anno["bbox"][i, 1])
+        if height < MIN_HEIGHT[2]:
+            ignored_dt.append(1)
+        elif valid_class == 1:
+            ignored_dt.append(0)
+        else:
+            ignored_dt.append(-1)
+    return num_valid_gt, ignored_gt, ignored_dt, dc_bboxes
+
+
 def image_box_overlap(boxes, query_boxes, criterion=-1):
     """Axis-aligned 2D overlap [N, K], vectorized (eval.py:162-189)."""
     N, K = len(boxes), len(query_boxes)
@@ -345,12 +395,14 @@ def calculate_iou_partly(gt_annos, dt_annos, metric, num_parts=50):
     return overlaps, parted_overlaps, total_gt_num, total_dt_num
 
 
-def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
+def _prepare_data(gt_annos, dt_annos, current_class, difficulty,
+                  by_distance=False):
     gt_datas_list, dt_datas_list = [], []
     ignored_gts, ignored_dets, dontcares = [], [], []
     total_num_valid_gt = 0
+    cleaner = clean_data_by_distance if by_distance else clean_data
     for i in range(len(gt_annos)):
-        num_valid_gt, ignored_gt, ignored_det, dc_bboxes = clean_data(
+        num_valid_gt, ignored_gt, ignored_det, dc_bboxes = cleaner(
             gt_annos[i], dt_annos[i], current_class, difficulty
         )
         ignored_gts.append(np.array(ignored_gt, np.int64))
@@ -379,7 +431,8 @@ def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
 
 
 def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
-               min_overlaps, compute_aos=False, num_parts=50):
+               min_overlaps, compute_aos=False, num_parts=50,
+               by_distance=False):
     assert len(gt_annos) == len(dt_annos)
     overlaps, _, _, _ = calculate_iou_partly(dt_annos, gt_annos, metric, num_parts)
     # overlaps[i] is [n_dt_i, n_gt_i] (dt first — matches the reference call)
@@ -395,7 +448,8 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
         for l, difficulty in enumerate(difficultys):
             (gt_datas_list, dt_datas_list, ignored_gts, ignored_dets,
              dontcares, total_num_valid_gt) = _prepare_data(
-                gt_annos, dt_annos, current_class, difficulty
+                gt_annos, dt_annos, current_class, difficulty,
+                by_distance=by_distance,
             )
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
                 # pass 1: collect tp scores at threshold 0
@@ -462,11 +516,11 @@ def print_str(value, *arg, sstream=None):
 
 
 def do_eval(gt_annos, dt_annos, current_classes, min_overlaps,
-            compute_aos=False, PR_detail_dict=None):
+            compute_aos=False, PR_detail_dict=None, by_distance=False):
     difficultys = [0, 1, 2]
     ret = eval_class(
         gt_annos, dt_annos, current_classes, difficultys, 0, min_overlaps,
-        compute_aos,
+        compute_aos, by_distance=by_distance,
     )
     mAP_bbox = get_mAP(ret["precision"])
     mAP_bbox_R40 = get_mAP_R40(ret["precision"])
@@ -479,14 +533,16 @@ def do_eval(gt_annos, dt_annos, current_classes, min_overlaps,
         if PR_detail_dict is not None:
             PR_detail_dict["aos"] = ret["orientation"]
     ret = eval_class(
-        gt_annos, dt_annos, current_classes, difficultys, 1, min_overlaps
+        gt_annos, dt_annos, current_classes, difficultys, 1, min_overlaps,
+        by_distance=by_distance,
     )
     mAP_bev = get_mAP(ret["precision"])
     mAP_bev_R40 = get_mAP_R40(ret["precision"])
     if PR_detail_dict is not None:
         PR_detail_dict["bev"] = ret["precision"]
     ret = eval_class(
-        gt_annos, dt_annos, current_classes, difficultys, 2, min_overlaps
+        gt_annos, dt_annos, current_classes, difficultys, 2, min_overlaps,
+        by_distance=by_distance,
     )
     mAP_3d = get_mAP(ret["precision"])
     mAP_3d_R40 = get_mAP_R40(ret["precision"])
@@ -596,3 +652,150 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes,
                     ret_dict[f"{name}_image_{dn}_R40"] = mAPbbox_R40[j, di, 0]
 
     return result, ret_dict, mAP3d_R40[0, 1, 0]
+
+
+def get_distance_eval_result(gt_annos, dt_annos, current_classes,
+                             PR_detail_dict=None):
+    """Distance-bucketed AP (30m / 50m / 70m bands) — reference
+    eval.py:828-936 (get_distance_eval_result)."""
+    overlap_0_7 = np.array(
+        [[0.7, 0.5, 0.5, 0.7, 0.5, 0.7],
+         [0.7, 0.5, 0.5, 0.7, 0.5, 0.7],
+         [0.7, 0.5, 0.5, 0.7, 0.5, 0.7]]
+    )
+    overlap_0_5 = np.array(
+        [[0.7, 0.5, 0.5, 0.7, 0.5, 0.5],
+         [0.5, 0.25, 0.25, 0.5, 0.25, 0.5],
+         [0.5, 0.25, 0.25, 0.5, 0.25, 0.5]]
+    )
+    min_overlaps = np.stack([overlap_0_7, overlap_0_5], axis=0)
+    class_to_name = {0: "Car", 1: "Pedestrian", 2: "Cyclist", 3: "Van",
+                     4: "Person_sitting", 5: "Truck"}
+    name_to_class = {v: n for n, v in class_to_name.items()}
+    if not isinstance(current_classes, (list, tuple)):
+        current_classes = [current_classes]
+    current_classes = [
+        name_to_class[c] if isinstance(c, str) else c for c in current_classes
+    ]
+    min_overlaps = min_overlaps[:, :, current_classes]
+    result = ""
+    compute_aos = False
+    for anno in dt_annos:
+        if anno["alpha"].shape[0] != 0:
+            if anno["alpha"][0] != -10:
+                compute_aos = True
+            break
+
+    (mAPbbox, mAPbev, mAP3d, mAPaos, mAPbbox_R40, mAPbev_R40, mAP3d_R40,
+     mAPaos_R40) = do_eval(
+        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos,
+        PR_detail_dict=PR_detail_dict, by_distance=True,
+    )
+
+    ret_dict = {}
+    bands = ["30m", "50m", "70m"]
+    for j, curcls in enumerate(current_classes):
+        name = class_to_name[curcls]
+        for i in range(min_overlaps.shape[0]):
+            result += print_str(
+                f"{name} AP(distance)@{{:.2f}}, {{:.2f}}, {{:.2f}}:".format(
+                    *min_overlaps[i, :, j]
+                )
+            )
+            result += print_str(
+                f"bbox AP:{mAPbbox[j, 0, i]:.4f}, {mAPbbox[j, 1, i]:.4f}, "
+                f"{mAPbbox[j, 2, i]:.4f}"
+            )
+            result += print_str(
+                f"bev  AP:{mAPbev[j, 0, i]:.4f}, {mAPbev[j, 1, i]:.4f}, "
+                f"{mAPbev[j, 2, i]:.4f}"
+            )
+            result += print_str(
+                f"3d   AP:{mAP3d[j, 0, i]:.4f}, {mAP3d[j, 1, i]:.4f}, "
+                f"{mAP3d[j, 2, i]:.4f}"
+            )
+            result += print_str(
+                f"3d R40:{mAP3d_R40[j, 0, i]:.4f}, {mAP3d_R40[j, 1, i]:.4f}, "
+                f"{mAP3d_R40[j, 2, i]:.4f}"
+            )
+            if i == 0:
+                for di, dn in enumerate(bands):
+                    ret_dict[f"{name}_3d_{dn}"] = mAP3d[j, di, 0]
+                    ret_dict[f"{name}_bev_{dn}"] = mAPbev[j, di, 0]
+                    ret_dict[f"{name}_image_{dn}"] = mAPbbox[j, di, 0]
+                    ret_dict[f"{name}_3d_{dn}_R40"] = mAP3d_R40[j, di, 0]
+                    ret_dict[f"{name}_bev_{dn}_R40"] = mAPbev_R40[j, di, 0]
+                    ret_dict[f"{name}_image_{dn}_R40"] = mAPbbox_R40[j, di, 0]
+    return result, ret_dict
+
+
+def do_coco_style_eval(gt_annos, dt_annos, current_classes, overlap_ranges,
+                       compute_aos):
+    """AP averaged over an overlap sweep (reference eval.py:699-714)."""
+    min_overlaps = np.zeros([10, *overlap_ranges.shape[1:]])
+    for i in range(overlap_ranges.shape[1]):
+        for j in range(overlap_ranges.shape[2]):
+            lo, hi, n = overlap_ranges[:, i, j]
+            min_overlaps[:, i, j] = np.linspace(lo, hi, int(n))
+    (mAP_bbox, mAP_bev, mAP_3d, mAP_aos, *_rest) = do_eval(
+        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos
+    )
+    mAP_bbox = mAP_bbox.mean(-1)
+    mAP_bev = mAP_bev.mean(-1)
+    mAP_3d = mAP_3d.mean(-1)
+    if mAP_aos is not None:
+        mAP_aos = mAP_aos.mean(-1)
+    return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
+
+
+def get_coco_eval_result(gt_annos, dt_annos, current_classes):
+    """COCO-style AP over 10 overlap thresholds (reference eval.py:939-998)."""
+    class_to_name = {0: "Car", 1: "Pedestrian", 2: "Cyclist", 3: "Van",
+                     4: "Person_sitting"}
+    class_to_range = {
+        0: [0.5, 0.95, 10], 1: [0.25, 0.7, 10], 2: [0.25, 0.7, 10],
+        3: [0.5, 0.95, 10], 4: [0.25, 0.7, 10],
+    }
+    name_to_class = {v: n for n, v in class_to_name.items()}
+    if not isinstance(current_classes, (list, tuple)):
+        current_classes = [current_classes]
+    current_classes = [
+        name_to_class[c] if isinstance(c, str) else c for c in current_classes
+    ]
+    overlap_ranges = np.zeros([3, 3, len(current_classes)])
+    for i, curcls in enumerate(current_classes):
+        overlap_ranges[:, :, i] = np.array(class_to_range[curcls])[:, None]
+    result = ""
+    compute_aos = False
+    for anno in dt_annos:
+        if anno["alpha"].shape[0] != 0:
+            if anno["alpha"][0] != -10:
+                compute_aos = True
+            break
+    mAPbbox, mAPbev, mAP3d, mAPaos = do_coco_style_eval(
+        gt_annos, dt_annos, current_classes, overlap_ranges, compute_aos
+    )
+    for j, curcls in enumerate(current_classes):
+        o_range = np.array(class_to_range[curcls])[[0, 2, 1]]
+        o_range[1] = (o_range[2] - o_range[0]) / (o_range[1] - 1)
+        result += print_str(
+            f"{class_to_name[curcls]} "
+            "coco AP@{:.2f}:{:.2f}:{:.2f}:".format(*o_range)
+        )
+        result += print_str(
+            f"bbox AP:{mAPbbox[j, 0]:.2f}, {mAPbbox[j, 1]:.2f}, "
+            f"{mAPbbox[j, 2]:.2f}"
+        )
+        result += print_str(
+            f"bev  AP:{mAPbev[j, 0]:.2f}, {mAPbev[j, 1]:.2f}, "
+            f"{mAPbev[j, 2]:.2f}"
+        )
+        result += print_str(
+            f"3d   AP:{mAP3d[j, 0]:.2f}, {mAP3d[j, 1]:.2f}, {mAP3d[j, 2]:.2f}"
+        )
+        if compute_aos:
+            result += print_str(
+                f"aos  AP:{mAPaos[j, 0]:.2f}, {mAPaos[j, 1]:.2f}, "
+                f"{mAPaos[j, 2]:.2f}"
+            )
+    return result

@@ -20,7 +20,7 @@ from ..ops.utils import grid_sample_bilinear, inverse_sigmoid
 from .backbone import ResNetBackbone
 from .depth_predictor import DepthPredictor
 from .layers import MLP, ConvGN
-from .position_encoding import sine_pos_table
+from .position_encoding import LearnedPositionEmbedding, sine_pos_table
 from .transformer import DepthAwareTransformer
 
 
@@ -44,10 +44,15 @@ class MonoDETR(nn.Module):
     depth_max: float = 60.0
     with_box_refine: bool = True
     init_box: bool = False
+    position_embedding: str = "sine"  # 'sine' or 'learned'
     dtype: Any = jnp.float32  # compute dtype (bf16 for the TPU fast path)
     remat: bool = False  # rematerialize backbone blocks + encoder layers
 
     def setup(self):
+        if self.position_embedding in ("v3", "learned"):
+            self.learned_pos = LearnedPositionEmbedding(
+                num_pos_feats=self.hidden_dim // 2, name="position_embedding"
+            )
         self.backbone = ResNetBackbone(
             name_or_depth=self.backbone_name, dilation=self.dilation,
             dtype=self.dtype, remat=self.remat, name="backbone"
@@ -141,13 +146,22 @@ class MonoDETR(nn.Module):
         srcs = [self.input_proj[i](feats[i]) for i in range(3)]
         srcs.append(self.input_proj[3](feats[2]))  # extra 1/64 level
 
-        pos = [
-            jnp.broadcast_to(
-                sine_pos_table(s.shape[1], s.shape[2], self.hidden_dim)[None],
-                s.shape[:3] + (self.hidden_dim,),
-            )
-            for s in srcs
-        ]
+        if self.position_embedding in ("v3", "learned"):
+            pos = [
+                jnp.broadcast_to(
+                    self.learned_pos(s.shape[1], s.shape[2])[None],
+                    s.shape[:3] + (self.hidden_dim,),
+                )
+                for s in srcs
+            ]
+        else:
+            pos = [
+                jnp.broadcast_to(
+                    sine_pos_table(s.shape[1], s.shape[2], self.hidden_dim)[None],
+                    s.shape[:3] + (self.hidden_dim,),
+                )
+                for s in srcs
+            ]
 
         (
             depth_logits,
@@ -263,6 +277,7 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         depth_max=float(cfg.get("depth_max", 60.0)),
         with_box_refine=cfg.get("with_box_refine", True),
         init_box=cfg.get("init_box", False),
+        position_embedding=cfg.get("position_embedding", "sine"),
         dtype=jnp.bfloat16 if cfg.get("dtype", "float32") in ("bf16", "bfloat16") else jnp.float32,
         remat=cfg.get("remat", False),
     )

@@ -88,3 +88,22 @@ def make_parallel_eval_step(model, mesh: Mesh, topk: int = 50,
         in_shardings=(repl, data, data, data),
         out_shardings=data,
     )
+
+
+def maybe_init_distributed() -> int:
+    """Initialize jax.distributed from the environment when running
+    multi-host (JAX_COORDINATOR_ADDRESS / TPU pod env); returns
+    process_index.  Replaces the reference's NCCL init_distributed_mode
+    (utils/misc.py:410-432, which its entry point never called)."""
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass  # already initialized or single-process
+    return jax.process_index()

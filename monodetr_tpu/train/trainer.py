@@ -30,7 +30,7 @@ BATCH_KEYS = (
 class Trainer:
     def __init__(self, cfg, model, criterion, params, train_loader,
                  test_loader, lr_cfg, optim_cfg, logger, model_name,
-                 tester=None, shard_batch=None):
+                 tester=None, mesh=None):
         self.cfg = cfg
         self.model = model
         self.criterion = criterion
@@ -46,10 +46,19 @@ class Trainer:
         self.model_name = model_name
         self.output_dir = os.path.join("./" + cfg.get("save_path", "outputs/"), model_name)
         self.tester = tester
-        self.shard_batch = shard_batch  # optional data-parallel placement fn
+        self.shard_batch = None
 
         self.opt_state, step_fn = build_optimizer(optim_cfg, params)
-        self.train_step = make_train_step(model, criterion, step_fn)
+        if mesh is not None:
+            from ..parallel.mesh import make_parallel_train_step, shard_batch_fn
+
+            self.train_step = make_parallel_train_step(
+                model, criterion, step_fn, mesh
+            )
+            self.shard_batch = shard_batch_fn(mesh)
+            logger.info("data parallel over %d devices" % mesh.size)
+        else:
+            self.train_step = make_train_step(model, criterion, step_fn)
         self.rng = jax.random.PRNGKey(cfg.get("seed", 444))
 
         if cfg.get("pretrain_model"):
@@ -126,7 +135,21 @@ class Trainer:
         lr = jnp.float32(lr_at_epoch(self.lr_cfg, self.base_lr, epoch))
         t0 = time.time()
         n_imgs = 0
+        # optional profiler trace of a few steps in the first epoch
+        # (cfg profile_steps: N -> trace batches [2, 2+N) to <output>/profile)
+        profile_steps = int(self.cfg.get("profile_steps", 0))
         for batch_idx, (batch, _infos) in enumerate(self.train_loader):
+            if profile_steps and epoch == 0 and batch_idx == 2:
+                jax.profiler.start_trace(
+                    os.path.join(self.output_dir, "profile")
+                )
+            if profile_steps and epoch == 0 and batch_idx == 2 + profile_steps:
+                jax.block_until_ready(self.params)
+                jax.profiler.stop_trace()
+                profile_steps = 0
+                self.logger.info(
+                    "profiler trace written to %s/profile" % self.output_dir
+                )
             arrays = {k: jnp.asarray(batch[k]) for k in BATCH_KEYS}
             if self.shard_batch is not None:
                 arrays = self.shard_batch(arrays)

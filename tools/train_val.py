@@ -17,6 +17,7 @@ import numpy as np
 import yaml
 
 from monodetr_tpu.config import load_config
+from monodetr_tpu.parallel.mesh import make_mesh, maybe_init_distributed
 from monodetr_tpu.data import build_dataloader
 from monodetr_tpu.eval.tester import Tester
 from monodetr_tpu.models import build_monodetr
@@ -34,6 +35,7 @@ def main():
     assert os.path.exists(args.config)
     cfg = load_config(args.config)
     set_random_seed(cfg.get("random_seed", 444))
+    rank = maybe_init_distributed()
 
     model_name = cfg["model_name"]
     output_path = os.path.join("./" + cfg["trainer"].get("save_path", "outputs/"), model_name)
@@ -43,8 +45,16 @@ def main():
         output_path,
         "train.log.%s" % datetime.datetime.now().strftime("%Y%m%d_%H%M%S"),
     )
-    logger = create_logger(log_file)
+    logger = create_logger(log_file, rank=rank)
     logger.info("devices: %s" % (jax.devices(),))
+
+    # data parallelism: explicit `trainer.data_parallel: true`, or automatic
+    # when more than one device is visible
+    mesh = None
+    if cfg["trainer"].get("data_parallel", len(jax.devices()) > 1):
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+            logger.info("mesh: %s" % (mesh,))
 
     # build dataloaders
     train_loader, test_loader = build_dataloader(cfg["dataset"])
@@ -94,6 +104,7 @@ def main():
         logger=logger,
         model_name=model_name,
         tester=tester if cfg["dataset"]["test_split"] != "test" else None,
+        mesh=mesh,
     )
 
     logger.info("###################  Training  ##################")

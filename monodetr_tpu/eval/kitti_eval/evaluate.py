@@ -12,19 +12,12 @@ import argparse
 
 from . import kitti_common as kitti
 from .eval import get_coco_eval_result, get_official_eval_result
+from .kitti_common import filter_annos_low_score
 
 
 def _read_imageset_file(path):
     with open(path) as f:
         return [int(line) for line in f.readlines()]
-
-
-def filter_annos_low_score(image_annos, thresh):
-    new_annos = []
-    for anno in image_annos:
-        keep = [i for i, s in enumerate(anno["score"]) if s >= thresh]
-        new_annos.append({k: v[keep] for k, v in anno.items()})
-    return new_annos
 
 
 def evaluate(label_path, result_path, label_split_file, current_class=0,

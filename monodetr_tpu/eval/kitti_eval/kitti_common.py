@@ -56,3 +56,50 @@ def get_label_annos(label_folder, image_ids=None):
         label_filename = label_folder / (get_image_index_str(idx) + ".txt")
         annos.append(get_label_anno(label_filename))
     return annos
+
+
+def filter_annos_low_score(image_annos, thresh):
+    """Drop detections below a score threshold (kitti_common.py:191-206)."""
+    new_annos = []
+    for anno in image_annos:
+        keep = [i for i, s in enumerate(anno["score"]) if s >= thresh]
+        new_annos.append({k: v[keep] for k, v in anno.items()})
+    return new_annos
+
+
+def add_difficulty_to_annos(info):
+    """Tag each annotation with its KITTI difficulty 0/1/2 (-1 = none) —
+    kitti_common.py:249-291."""
+    min_height = [40, 25, 25]
+    max_occlusion = [0, 1, 2]
+    max_trunc = [0.15, 0.3, 0.5]
+    annos = info["annos"]
+    bbox = annos["bbox"]
+    height = bbox[:, 3] - bbox[:, 1]
+    occlusion = annos["occluded"]
+    truncation = annos["truncated"]
+    n = len(height)
+    easy = np.ones(n, bool)
+    moderate = np.ones(n, bool)
+    hard = np.ones(n, bool)
+    for i, (h, o, t) in enumerate(zip(height, occlusion, truncation)):
+        if o > max_occlusion[0] or h <= min_height[0] or t > max_trunc[0]:
+            easy[i] = False
+        if o > max_occlusion[1] or h <= min_height[1] or t > max_trunc[1]:
+            moderate[i] = False
+        if o > max_occlusion[2] or h <= min_height[2] or t > max_trunc[2]:
+            hard[i] = False
+    is_moderate = np.logical_xor(easy, moderate)
+    is_hard = np.logical_xor(hard, moderate)
+    diff = []
+    for i in range(n):
+        if easy[i]:
+            diff.append(0)
+        elif is_moderate[i]:
+            diff.append(1)
+        elif is_hard[i]:
+            diff.append(2)
+        else:
+            diff.append(-1)
+    annos["difficulty"] = np.array(diff, np.int32)
+    return diff

@@ -44,6 +44,9 @@ class MonoDETR(nn.Module):
     depth_max: float = 60.0
     with_box_refine: bool = True
     init_box: bool = False
+    two_stage: bool = False
+    use_dab: bool = False
+    two_stage_dino: bool = False
     position_embedding: str = "sine"  # 'sine' or 'learned'
     dtype: Any = jnp.float32  # compute dtype (bf16 for the TPU fast path)
     remat: bool = False  # rematerialize backbone blocks + encoder layers
@@ -91,21 +94,39 @@ class MonoDETR(nn.Module):
             dec_n_points=self.dec_n_points,
             group_num=self.group_num,
             num_queries=self.num_queries,
+            two_stage=self.two_stage,
+            use_dab=self.use_dab,
+            two_stage_dino=self.two_stage_dino,
+            two_stage_num_proposals=self.num_queries,
             dtype=self.dtype,
             remat=self.remat,
             name="transformer",
         )
 
-        self.query_embed = self.param(
-            "query_embed",
-            nn.initializers.normal(1.0),
-            (self.num_queries * self.group_num, 2 * self.hidden_dim),
-        )
+        # query parameters per variant (reference monodetr.py:69-76)
+        if not self.two_stage and not self.two_stage_dino:
+            if self.use_dab:
+                self.tgt_embed = self.param(
+                    "tgt_embed", nn.initializers.normal(1.0),
+                    (self.num_queries * self.group_num, self.hidden_dim),
+                )
+                self.refpoint_embed = self.param(
+                    "refpoint_embed", nn.initializers.normal(1.0),
+                    (self.num_queries * self.group_num, 6),
+                )
+            else:
+                self.query_embed = self.param(
+                    "query_embed",
+                    nn.initializers.normal(1.0),
+                    (self.num_queries * self.group_num, 2 * self.hidden_dim),
+                )
 
         # focal-style bias init for classification (monodetr.py:55-57)
         prior_prob = 0.01
         bias_value = -math.log((1 - prior_prob) / prior_prob)
-        n_pred = self.dec_layers  # heads cloned per layer (with_box_refine)
+        # heads cloned per layer; two-stage gets one extra set scoring the
+        # encoder proposals (reference monodetr.py:123)
+        n_pred = self.dec_layers + 1 if self.two_stage else self.dec_layers
         self.class_embed = [
             nn.Dense(
                 self.num_classes,
@@ -170,13 +191,21 @@ class MonoDETR(nn.Module):
             _depth_pos_ip,
         ) = self.depth_predictor(srcs, pos[1], deterministic=deterministic)
 
-        q = self.query_embed if train else self.query_embed[: self.num_queries]
+        if self.two_stage or self.two_stage_dino:
+            q = None
+        elif self.use_dab:
+            qe = jnp.concatenate([self.tgt_embed, self.refpoint_embed], axis=1)
+            q = qe if train else qe[: self.num_queries]
+        else:
+            q = self.query_embed if train else self.query_embed[: self.num_queries]
 
         bbox_heads = [lambda x, h=h: h(x) for h in self.bbox_embed]
         dim_heads = [lambda x, h=h: h(x) for h in self.dim_embed_3d]
-        hs, init_reference, refs_in, inter_dims = self.transformer(
+        class_heads = [lambda x, h=h: h(x) for h in self.class_embed]
+        (hs, init_reference, refs_in, inter_dims,
+         enc_outputs_class, enc_outputs_coord_unact) = self.transformer(
             srcs, pos, q, depth_embed_tokens, bbox_heads, dim_heads,
-            train=train, deterministic=deterministic,
+            train=train, deterministic=deterministic, class_heads=class_heads,
         )
 
         outputs_coords, outputs_classes = [], []
@@ -251,6 +280,11 @@ class MonoDETR(nn.Module):
                 for i in range(self.dec_layers - 1)
             ],
         }
+        if self.two_stage:
+            out["enc_outputs"] = {
+                "pred_logits": enc_outputs_class,
+                "pred_boxes": jax.nn.sigmoid(enc_outputs_coord_unact),
+            }
         return out
 
 
@@ -278,6 +312,9 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         with_box_refine=cfg.get("with_box_refine", True),
         init_box=cfg.get("init_box", False),
         position_embedding=cfg.get("position_embedding", "sine"),
+        two_stage=cfg.get("two_stage", False),
+        use_dab=cfg.get("use_dab", False),
+        two_stage_dino=cfg.get("two_stage_dino", False),
         dtype=jnp.bfloat16 if cfg.get("dtype", "float32") in ("bf16", "bfloat16") else jnp.float32,
         remat=cfg.get("remat", False),
     )

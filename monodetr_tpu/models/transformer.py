@@ -33,6 +33,59 @@ from .layers import FFN, MLP, MultiheadAttention
 from .msda_module import MSDeformAttn
 
 
+def gen_sineembed_for_position(pos):
+    """Sine embedding of normalized positions [B, Q, d] (d = 2 or 6) ->
+    [B, Q, 128*d] — reference depthaware_transformer.py:29-65 (order:
+    pos_y, pos_x, then l, r, t, b for 6-D)."""
+    scale = 2 * np.pi
+    dim_t = np.arange(128, dtype=np.float32)
+    dim_t = 10000.0 ** (2 * (dim_t // 2) / 128)
+    dim_t = jnp.asarray(dim_t)
+
+    def embed(coord):  # [B, Q] -> [B, Q, 128]
+        p = coord[..., None] * scale / dim_t
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                         axis=-1).reshape(p.shape[:-1] + (128,))
+
+    parts = [embed(pos[..., 1]), embed(pos[..., 0])]  # y, x
+    for i in range(2, pos.shape[-1]):
+        parts.append(embed(pos[..., i]))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def get_proposal_pos_embed(proposals):
+    """[B, Q, 4] unactivated proposals -> [B, Q, 512] sine embedding
+    (reference :139-152: sigmoid applied inside)."""
+    dim_t = np.arange(128, dtype=np.float32)
+    dim_t = 10000.0 ** (2 * (dim_t // 2) / 128)
+    dim_t = jnp.asarray(dim_t)
+    p = jax.nn.sigmoid(proposals) * (2 * np.pi)
+    pos = p[..., None] / dim_t  # [B, Q, 4, 128]
+    pos = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])],
+                    axis=-1)  # [B, Q, 4, 64, 2]
+    return pos.reshape(pos.shape[:2] + (-1,))
+
+
+def encoder_output_proposals(spatial_shapes):
+    """Static per-level box proposals [S, 6] (cx, cy, l, r, t, b) in logit
+    space + validity mask — reference gen_encoder_output_proposals
+    (:154-188) with valid_ratios == 1 (all-valid masks)."""
+    props = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        ys = (np.arange(h, dtype=np.float32) + 0.5) / h
+        xs = (np.arange(w, dtype=np.float32) + 0.5) / w
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        wh = np.full((h * w, 4), 0.05 * (2.0 ** lvl), np.float32)
+        props.append(
+            np.concatenate([gx.reshape(-1, 1), gy.reshape(-1, 1), wh], axis=1)
+        )
+    proposals = np.concatenate(props, axis=0)  # [S, 6]
+    valid = ((proposals > 0.01) & (proposals < 0.99)).all(-1)
+    unact = np.log(proposals / (1 - proposals))
+    unact = np.where(valid[:, None], unact, np.inf).astype(np.float32)
+    return unact, valid
+
+
 def encoder_reference_points(spatial_shapes):
     """Per-level pixel-center grids, normalized — reference :364-376 with
     valid_ratios == 1.  Returns [S, 2] (x, y)."""
@@ -98,7 +151,10 @@ class DepthAwareDecoderLayer(nn.Module):
         )(qk)
         v = tgt  # reference overwrites sa_v_proj output with raw tgt (:477)
 
-        if train:
+        # group-wise only when the query count actually factors into
+        # group_num x num_queries (the reference hard-codes 50 and would
+        # crash otherwise, :481-489 — e.g. two_stage training)
+        if train and tgt.shape[1] == self.group_num * self.num_queries:
             g, nq = self.group_num, self.num_queries
             def regroup(x):
                 return x.reshape(B, g, nq, self.d_model).reshape(B * g, nq, self.d_model)
@@ -146,20 +202,28 @@ class DepthAwareTransformer(nn.Module):
     dec_n_points: int = 4
     group_num: int = 11
     num_queries: int = 50
+    two_stage: bool = False
+    use_dab: bool = False
+    two_stage_dino: bool = False
+    two_stage_num_proposals: int = 50
     dtype: Any = jnp.float32
     remat: bool = False
 
     @nn.compact
     def __call__(self, srcs, pos_embeds, query_embed, depth_embed,
-                 bbox_heads, dim_heads, train: bool, deterministic=True):
+                 bbox_heads, dim_heads, train: bool, deterministic=True,
+                 class_heads=None):
         """
         srcs/pos_embeds: lists of [B, h, w, C] per level
-        query_embed: [Qtot, 2*C] (already sliced to the right query count)
+        query_embed: [Qtot, 2*C] (standard path, already sliced) or
+                     [Qtot, C+6] (use_dab) or None (two_stage / dino)
         depth_embed: [B, S16, C] depth tokens
         bbox_heads/dim_heads: per-decoder-layer callables C -> 6 / C -> 3
-        Returns (hs [Ldec, B, Q, C], init_reference [B, Q, 6?2],
-                 refs_in [Ldec, B, Q, ...] pre-update references per layer,
-                 inter_dims [Ldec, B, Q, 3]).
+        (len dec_layers + 1 when two_stage: the extra head scores encoder
+        proposals, reference monodetr.py:123)
+        Returns (hs [Ldec, B, Q, C], init_reference, refs_in per layer,
+                 inter_dims [Ldec, B, Q, 3], enc_outputs_class,
+                 enc_outputs_coord_unact) — last two None unless two_stage.
         """
         B = srcs[0].shape[0]
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
@@ -196,15 +260,116 @@ class DepthAwareTransformer(nn.Module):
                 name=f"encoder_layer_{i}",
             )(memory, pos_flat, enc_ref, spatial_shapes, deterministic)
 
-        # ---- decoder prep (:283-287) ----
-        query_embed = query_embed.astype(self.dtype)
-        query_pos, tgt = jnp.split(query_embed, 2, axis=1)
-        query_pos = jnp.broadcast_to(query_pos[None], (B,) + query_pos.shape)
-        tgt = jnp.broadcast_to(tgt[None], (B,) + tgt.shape)
-        reference_points = nn.sigmoid(
-            nn.Dense(2, dtype=jnp.float32, name="reference_points")(query_pos)
-        )
+        # ---- decoder prep ----
+        enc_outputs_class = enc_outputs_coord_unact = None
+        per_layer_query_pos = False  # DAB/DINO recompute query_pos per layer
+
+        if self.two_stage:
+            # encoder proposals -> top-k references + query embedding
+            # (reference :234-254; note the enc_output projection is applied
+            # TWICE there — :187 inside gen_encoder_output_proposals and
+            # again at :236-237 — reproduced faithfully)
+            prop_unact, prop_valid = encoder_output_proposals(spatial_shapes)
+            prop_unact = jnp.asarray(prop_unact)[None]  # [1, S, 6]
+            mem = jnp.where(
+                jnp.asarray(prop_valid)[None, :, None], memory, 0.0
+            ).astype(jnp.float32)
+            enc_proj = nn.Dense(self.d_model, name="enc_output")
+            enc_norm = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")
+            output_memory = enc_norm(enc_proj(mem))
+            output_memory = enc_norm(enc_proj(output_memory))
+            enc_outputs_class = class_heads[-1](output_memory).astype(jnp.float32)
+            enc_outputs_coord_unact = (
+                bbox_heads[-1](output_memory).astype(jnp.float32) + prop_unact
+            )
+            topk = min(self.two_stage_num_proposals, enc_outputs_class.shape[1])
+            _, topk_idx = jax.lax.top_k(enc_outputs_class[..., 0], topk)
+            topk_coords_unact = jnp.take_along_axis(
+                enc_outputs_coord_unact, topk_idx[..., None], axis=1
+            )
+            topk_coords_unact = jax.lax.stop_gradient(topk_coords_unact)
+            reference_points = jax.nn.sigmoid(topk_coords_unact)
+            # 4-D (cx, cy, l+r, t+b) sine embedding -> (query_pos, tgt)
+            coords4 = jnp.concatenate(
+                [
+                    topk_coords_unact[..., 0:2],
+                    topk_coords_unact[..., 2::2] + topk_coords_unact[..., 3::2],
+                ],
+                axis=-1,
+            )
+            pos_trans_out = nn.LayerNorm(epsilon=1e-5, name="pos_trans_norm")(
+                nn.Dense(2 * self.d_model, name="pos_trans")(
+                    get_proposal_pos_embed(coords4)
+                )
+            ).astype(self.dtype)
+            query_pos, tgt = jnp.split(pos_trans_out, 2, axis=2)
+        elif self.use_dab:
+            query_embed = query_embed.astype(jnp.float32)
+            tgt = jnp.broadcast_to(
+                query_embed[None, :, : self.d_model], (B,) + query_embed[:, : self.d_model].shape
+            ).astype(self.dtype)
+            reference_points = jax.nn.sigmoid(query_embed[None, :, self.d_model:])
+            reference_points = jnp.broadcast_to(
+                reference_points, (B,) + query_embed[:, self.d_model:].shape
+            )
+            query_pos = None
+            per_layer_query_pos = True
+        elif self.two_stage_dino:
+            prop_unact, prop_valid = encoder_output_proposals(spatial_shapes)
+            prop_unact = jnp.asarray(prop_unact)[None]
+            mem = jnp.where(
+                jnp.asarray(prop_valid)[None, :, None], memory, 0.0
+            ).astype(jnp.float32)
+            output_memory = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(
+                nn.Dense(self.d_model, name="enc_output")(mem)
+            )
+            enc_cls = nn.Dense(3, name="enc_out_class_embed")(output_memory)
+            enc_coord_unact = (
+                MLP(self.d_model, 6, 3, name="enc_out_bbox_embed")(output_memory)
+                + prop_unact
+            )
+            topk = self.two_stage_num_proposals * (self.group_num if train else 1)
+            # tiny test resolutions can have fewer tokens than proposals
+            topk = min(topk, enc_cls.shape[1])
+            _, topk_idx = jax.lax.top_k(enc_cls.max(-1), topk)
+            refpoint_unact = jnp.take_along_axis(
+                enc_coord_unact, topk_idx[..., None], axis=1
+            )
+            reference_points = jax.lax.stop_gradient(refpoint_unact)
+            tgt_table = self.param(
+                "tgt_embed", nn.initializers.normal(1.0),
+                (self.two_stage_num_proposals * self.group_num, self.d_model),
+            )
+            n_q = topk
+            tgt = jnp.broadcast_to(
+                tgt_table[None, :n_q].astype(self.dtype), (B, n_q, self.d_model)
+            )
+            # dino enters the decoder with unactivated refs (:559-560)
+            reference_points = jax.nn.sigmoid(reference_points)
+            query_pos = None
+            per_layer_query_pos = True
+        else:
+            # standard path (:283-287)
+            query_embed = query_embed.astype(self.dtype)
+            query_pos, tgt = jnp.split(query_embed, 2, axis=1)
+            query_pos = jnp.broadcast_to(query_pos[None], (B,) + query_pos.shape)
+            tgt = jnp.broadcast_to(tgt[None], (B,) + tgt.shape)
+            reference_points = nn.sigmoid(
+                nn.Dense(2, dtype=jnp.float32, name="reference_points")(
+                    query_pos
+                )
+            )
         init_reference = reference_points
+
+        if per_layer_query_pos:
+            ref_point_head = MLP(
+                self.d_model, self.d_model, 2, dtype=self.dtype,
+                name="ref_point_head",
+            )
+            query_scale = MLP(
+                self.d_model, self.d_model, 2, dtype=self.dtype,
+                name="query_scale",
+            )
 
         # ---- decoder ----
         hs_list, refs_in_list, dims_list = [], [], []
@@ -214,6 +379,13 @@ class DepthAwareTransformer(nn.Module):
                 reference_points[:, :, None, :],
                 reference_points.shape[:2] + (self.num_feature_levels, ref_dim),
             )
+            if per_layer_query_pos:
+                # DAB/DINO: query_pos from the sine embedding of the current
+                # reference (reference :572-588)
+                sine = gen_sineembed_for_position(ref_input[:, :, 0, :])
+                raw_query_pos = ref_point_head(sine.astype(self.dtype))
+                scale = query_scale(tgt) if lid != 0 else 1.0
+                query_pos = scale * raw_query_pos
             tgt = DepthAwareDecoderLayer(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.nhead, self.dec_n_points,
@@ -241,4 +413,6 @@ class DepthAwareTransformer(nn.Module):
             init_reference,
             refs_in_list,
             jnp.stack(dims_list),
+            enc_outputs_class,
+            enc_outputs_coord_unact,
         )

@@ -39,7 +39,8 @@ def shard_batch_fn(mesh: Mesh, axis_name: str = "data") -> Callable:
 
 
 def make_parallel_train_step(model, criterion, step_fn, mesh: Mesh,
-                             axis_name: str = "data") -> Callable:
+                             axis_name: str = "data",
+                             donate: bool = True) -> Callable:
     """Data-parallel jitted train step.
 
     Identical math to train_step.make_train_step: the global loss (with its
@@ -57,19 +58,34 @@ def make_parallel_train_step(model, criterion, step_fn, mesh: Mesh,
         losses = criterion(out, batch, train=True)
         return criterion.total(losses), losses
 
+    loss_keys = []
+
     def step(params, opt_state, batch, lr, rng):
+        import jax.numpy as jnp
+
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng
         )
         params, opt_state = step_fn(grads, opt_state, params, lr)
-        losses["loss_detr"] = total
-        return params, opt_state, losses
+        keys = sorted(losses.keys())
+        if not loss_keys:
+            loss_keys.extend(keys + ["loss_detr"])
+        return params, opt_state, jnp.stack([losses[k] for k in keys] + [total])
 
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(repl, repl, data, None, None),
         out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
     )
+
+    def wrapped(params, opt_state, batch, lr, rng):
+        from ..train.train_step import LossVector
+
+        params, opt_state, stacked = jitted(params, opt_state, batch, lr, rng)
+        return params, opt_state, LossVector(tuple(loss_keys), stacked)
+
+    return wrapped
 
 
 def make_parallel_eval_step(model, mesh: Mesh, topk: int = 50,

@@ -79,8 +79,12 @@ def ref_adamw(weight_decay: float, b1: float = 0.9, b2: float = 0.999,
     """
 
     def init(params):
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return RefAdamWState(step=jnp.zeros((), jnp.int32), m=zeros, v=zeros)
+        # m and v must be DISTINCT buffer trees: sharing one zeros tree makes
+        # donated train steps fail with "attempt to donate the same buffer
+        # twice" (and was the source of nondeterministic TPU runtime errors)
+        m = jax.tree_util.tree_map(jnp.zeros_like, params)
+        v = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return RefAdamWState(step=jnp.zeros((), jnp.int32), m=m, v=v)
 
     def update(grads, state, params, lr, train_mask, wd_mask):
         step = state.step + 1

@@ -160,7 +160,7 @@ class Trainer:
             n_imgs += int(batch["valid"].sum())
 
             if batch_idx % 30 == 0:
-                losses = {k: float(v) for k, v in losses.items()}
+                losses = {k: float(v) for k, v in losses.items()}  # one pull
                 dt = time.time() - t0
                 ips = n_imgs / dt if dt > 0 else 0
                 main = {

@@ -65,9 +65,9 @@ def test_parallel_equals_single_device(setup):
         {"type": "adamw", "lr": 2e-4, "weight_decay": 1e-4}, params
     )
     mesh = make_mesh()
-    pstep = make_parallel_train_step(model, crit, step_fn, mesh)
+    pstep = make_parallel_train_step(model, crit, step_fn, mesh, donate=False)
     place = shard_batch_fn(mesh)
-    sstep = make_train_step(model, crit, step_fn)
+    sstep = make_train_step(model, crit, step_fn, donate=False)
 
     rng = jax.random.PRNGKey(1)
     p1, _, l1 = pstep(params, opt_state, place(batch), jnp.float32(2e-4), rng)
@@ -88,7 +88,7 @@ def test_parallel_loss_decreases(setup):
         {"type": "adamw", "lr": 2e-4, "weight_decay": 1e-4}, params
     )
     mesh = make_mesh()
-    pstep = make_parallel_train_step(model, crit, step_fn, mesh)
+    pstep = make_parallel_train_step(model, crit, step_fn, mesh, donate=False)
     place = shard_batch_fn(mesh)
     sharded = place(batch)
     p, s = params, opt_state

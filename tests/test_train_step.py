@@ -52,6 +52,9 @@ def setup(tmp_path_factory):
 
 def test_train_step_decreases_loss(setup):
     model, crit, params, batch = setup
+    # the default train step donates its inputs: work on copies so the
+    # module-scoped fixture params survive for the other tests
+    params = jax.tree_util.tree_map(jnp.copy, params)
     opt_state, step_fn = build_optimizer({"type": "adamw", "lr": 2e-4, "weight_decay": 1e-4}, params)
     train_step = make_train_step(model, crit, step_fn)
 
@@ -69,9 +72,10 @@ def test_train_step_decreases_loss(setup):
 
 def test_frozen_params_do_not_move(setup):
     model, crit, params, batch = setup
-    opt_state, step_fn = build_optimizer({"type": "adamw", "lr": 1e-2, "weight_decay": 1e-4}, params)
+    p_in = jax.tree_util.tree_map(jnp.copy, params)
+    opt_state, step_fn = build_optimizer({"type": "adamw", "lr": 1e-2, "weight_decay": 1e-4}, p_in)
     train_step = make_train_step(model, crit, step_fn)
-    p, s, _ = train_step(params, opt_state, batch, jnp.float32(1e-2), jax.random.PRNGKey(2))
+    p, s, _ = train_step(p_in, opt_state, batch, jnp.float32(1e-2), jax.random.PRNGKey(2))
 
     before = params["params"]["backbone"]
     after = p["params"]["backbone"]

@@ -206,9 +206,34 @@ def d3_box_overlap(boxes, qboxes, criterion=-1):
 def _match_image(overlaps, gt_data, dt_data, ignored_gt, ignored_det,
                  dc_bboxes, metric, min_overlap, threshs, compute_fp,
                  compute_aos):
+    from ... import native
+    if native.available() and len(gt_data) and len(dt_data):
+        return native.match_image(
+            np.asarray(overlaps, np.float64),
+            dt_data[:, -1], dt_data[:, 4],
+            gt_data[:, 4] if len(gt_data) else np.zeros(0),
+            dt_data[:, :4], ignored_gt, ignored_det,
+            np.asarray(dc_bboxes, np.float64).reshape(-1, 4),
+            metric, float(min_overlap), np.asarray(threshs, np.float64),
+            compute_fp, compute_aos,
+        )
+    return _match_image_np(
+        overlaps, gt_data, dt_data, ignored_gt, ignored_det, dc_bboxes,
+        metric, min_overlap, threshs, compute_fp, compute_aos,
+    )
+
+
+def _match_image_np(overlaps, gt_data, dt_data, ignored_gt, ignored_det,
+                    dc_bboxes, metric, min_overlap, threshs, compute_fp,
+                    compute_aos):
     """TP/FP/FN/similarity for one image at T thresholds simultaneously.
 
-    Re-derivation of the reference's sequential dt scan
+    Dispatches to the native C++ kernel when built (match_image in
+    native/kitti_native.cpp, the equivalent of the reference's numba
+    compute_statistics_jit); the vectorized numpy path below is the
+    fallback and the test oracle.
+
+    Numpy re-derivation of the reference's sequential dt scan
     (compute_statistics_jit, eval.py:267-316): for each gt in order, the
     scan selects
       - compute_fp=False: the not-yet-assigned candidate with max score;

@@ -1,4 +1,5 @@
 // Native host-side kernels for monodetr_tpu, loaded via ctypes.
+#include <vector>
 //
 // 1. warp_affine_normalize: the data-loader hot path — bilinear affine warp
 //    of an RGB uint8 image to the fixed network resolution, fused with
@@ -152,3 +153,128 @@ void rotated_iou(const double* boxes, int n, const double* qboxes, int m,
 }
 
 }  // extern "C"
+
+// ---------------- evaluator matching ----------------
+//
+// Per-image TP/FP/FN/similarity statistics for T score thresholds — a direct
+// C++ transliteration of the sequential greedy matching the reference runs
+// under numba (compute_statistics_jit, kitti_eval_python/eval.py:233-350).
+// overlaps: [D, G] row-major (detections x ground truth).
+
+extern "C" void match_image(
+    const double* overlaps, int D, int G,
+    const double* dt_scores, const double* dt_alphas, const double* gt_alphas,
+    const double* dt_bboxes,           // [D, 4] (for DontCare suppression)
+    const long long* ignored_gt, const long long* ignored_det,
+    const double* dc_bboxes, int n_dc, // [n_dc, 4]
+    int metric, double min_overlap,
+    const double* threshs, int T,
+    int compute_fp, int compute_aos,
+    long long* tp_out, long long* fp_out, long long* fn_out, double* sim_out,
+    double* tp_scores_out,             // [T, G] padded
+    long long* tp_counts_out) {
+  const double NO_DETECTION = -10000000.0;
+  std::vector<char> assigned(D);
+  std::vector<char> ign_thresh(D);
+
+  for (int t = 0; t < T; ++t) {
+    std::fill(assigned.begin(), assigned.end(), 0);
+    std::fill(ign_thresh.begin(), ign_thresh.end(), 0);
+    if (compute_fp) {
+      for (int j = 0; j < D; ++j)
+        if (dt_scores[j] < threshs[t]) ign_thresh[j] = 1;
+    }
+    long long tp = 0, fp = 0, fn = 0;
+    double sim = 0.0;
+    long long n_scores = 0;
+    long long n_delta = 0;
+    double* scores_row = tp_scores_out + (size_t)t * G;
+
+    for (int i = 0; i < G; ++i) {
+      if (ignored_gt[i] == -1) continue;
+      int det_idx = -1;
+      double valid_detection = NO_DETECTION;
+      double max_overlap = 0.0;
+      bool assigned_ignored_det = false;
+
+      for (int j = 0; j < D; ++j) {
+        if (ignored_det[j] == -1 || assigned[j] || ign_thresh[j]) continue;
+        const double overlap = overlaps[(size_t)j * G + i];
+        const double score = dt_scores[j];
+        if (!compute_fp && overlap > min_overlap && score > valid_detection) {
+          det_idx = j;
+          valid_detection = score;
+        } else if (compute_fp && overlap > min_overlap &&
+                   (overlap > max_overlap || assigned_ignored_det) &&
+                   ignored_det[j] == 0) {
+          max_overlap = overlap;
+          det_idx = j;
+          valid_detection = 1;
+          assigned_ignored_det = false;
+        } else if (compute_fp && overlap > min_overlap &&
+                   valid_detection == NO_DETECTION && ignored_det[j] == 1) {
+          det_idx = j;
+          valid_detection = 1;
+          assigned_ignored_det = true;
+        }
+      }
+
+      if (valid_detection == NO_DETECTION && ignored_gt[i] == 0) {
+        fn += 1;
+      } else if (valid_detection != NO_DETECTION &&
+                 (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+        assigned[det_idx] = 1;
+      } else if (valid_detection != NO_DETECTION) {
+        tp += 1;
+        scores_row[n_scores++] = dt_scores[det_idx];
+        if (compute_aos) {
+          sim += (1.0 + std::cos(gt_alphas[i] - dt_alphas[det_idx])) / 2.0;
+          n_delta += 1;
+        }
+        assigned[det_idx] = 1;
+      }
+    }
+
+    if (compute_fp) {
+      for (int j = 0; j < D; ++j)
+        if (!(assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+              ign_thresh[j]))
+          fp += 1;
+      if (metric == 0 && n_dc > 0) {
+        long long nstuff = 0;
+        for (int c = 0; c < n_dc; ++c) {
+          const double* dc = dc_bboxes + (size_t)c * 4;
+          const double dc_area_x = dc[2] - dc[0];
+          (void)dc_area_x;
+          for (int j = 0; j < D; ++j) {
+            if (assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+                ign_thresh[j])
+              continue;
+            const double* b = dt_bboxes + (size_t)j * 4;
+            const double iw = std::min(b[2], dc[2]) - std::max(b[0], dc[0]);
+            const double ih = std::min(b[3], dc[3]) - std::max(b[1], dc[1]);
+            double ov = 0.0;
+            if (iw > 0 && ih > 0) {
+              // criterion 0: intersection / detection area
+              const double area = (b[2] - b[0]) * (b[3] - b[1]);
+              ov = iw * ih / area;
+            }
+            if (ov > min_overlap) {
+              assigned[j] = 1;
+              nstuff += 1;
+            }
+          }
+        }
+        fp -= nstuff;
+      }
+      if (compute_aos) {
+        sim = (tp > 0 || fp > 0) ? sim : -1.0;
+      }
+    }
+    tp_out[t] = tp;
+    fp_out[t] = fp;
+    fn_out[t] = fn;
+    sim_out[t] = sim;
+    tp_counts_out[t] = n_scores;
+  }
+}

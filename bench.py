@@ -112,26 +112,25 @@ def _timed_loop(jax, train_step, params, opt_state, batch, lr, key, B):
 
     # warmup: compile + settle the device/runtime (the first ~10 executions
     # after a fresh compile run far below steady state on this platform)
-    # Per-iteration VALUE fetch: on this platform block_until_ready does not
-    # synchronize through the remote relay (a known-FLOPs matmul chain
-    # "measured" 250x physical peak without a fetch) — so every step fetches
-    # its loss scalar.  This includes one host round-trip per step, i.e. the
-    # reported number is a conservative end-to-end training rate.
+    # Synchronize with VALUE fetches: on this platform block_until_ready
+    # does not wait through the remote relay (a known-FLOPs matmul chain
+    # "measured" 250x physical peak without a fetch).  One fetch closes each
+    # phase; its single round-trip latency is amortized over the window.
     import jax as _jax
 
     p = _jax.tree_util.tree_map(lambda x: x.copy(), params)
     s = _jax.tree_util.tree_map(lambda x: x.copy(), opt_state)
-    for _ in range(8):
+    for _ in range(4):
         key, sub = jax.random.split(key)
         p, s, losses = train_step(p, s, batch, lr, sub)
-        _ = float(losses["loss_detr"])
+    _ = float(losses["loss_detr"])
 
-    iters = 20
+    iters = 12
     t0 = time.perf_counter()
     for i in range(iters):
         key, sub = jax.random.split(key)
         p, s, losses = train_step(p, s, batch, lr, sub)
-        _ = float(losses["loss_detr"])
+    _ = float(losses["loss_detr"])
     dt = (time.perf_counter() - t0) / iters
     return B / dt
 

@@ -78,41 +78,114 @@ def level_start_indices(spatial_shapes):
     return tuple(np.cumsum([0] + sizes[:-1]).tolist())
 
 
+def _patch_base_and_weights(sampling_locations, spatial_shapes, level_starts):
+    """Base (top-left, clamped) patch indices and 4 patch-slot weights.
+
+    TPU gathers pay per ROW, not per byte (measured ~13 ns/row regardless of
+    32 vs 512 channels), so instead of 4 corner rows per sample we gather ONE
+    row of a precomputed 2x2-pixel patch map and carry 4 slot weights.  The
+    base index is clamped to [0, w-2] x [0, h-2]; corner weights are remapped
+    onto the patch slots (a corner outside the image keeps weight 0, a
+    clamped edge corner lands on slot 1).
+
+    Returns (idx [B, Q, H, L, P] int32 into [0, S), w [B, Q, H, L, P, 4]).
+    """
+    shapes = np.asarray(spatial_shapes, dtype=np.int32)
+    hs = shapes[:, 0][None, None, None, :, None]
+    ws = shapes[:, 1][None, None, None, :, None]
+    starts = np.asarray(level_starts, dtype=np.int32)[None, None, None, :, None]
+
+    x = sampling_locations[..., 0]
+    y = sampling_locations[..., 1]
+    fx = x * ws - 0.5
+    fy = y * hs - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    lx = fx - x0
+    ly = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    bx = jnp.clip(x0i, 0, np.maximum(ws - 2, 0))
+    by = jnp.clip(y0i, 0, np.maximum(hs - 2, 0))
+
+    def axis_slot_weights(c0, b, l, size):
+        """corner weights (1-l at c0, l at c0+1) -> patch slots (b, b+1)."""
+        w_c0 = jnp.where((c0 >= 0) & (c0 < size), 1.0 - l, 0.0)
+        w_c1 = jnp.where((c0 + 1 >= 0) & (c0 + 1 < size), l, 0.0)
+        off = c0 - b  # in {-1, 0, 1}
+        slot0 = jnp.where(off == 0, w_c0, 0.0) + jnp.where(off == -1, w_c1, 0.0)
+        slot1 = jnp.where(off == 1, w_c0, 0.0) + jnp.where(off == 0, w_c1, 0.0)
+        return slot0, slot1
+
+    wx0, wx1 = axis_slot_weights(x0i, bx, lx, ws)
+    wy0, wy1 = axis_slot_weights(y0i, by, ly, hs)
+
+    # slot order matches the patch-map channel order: (y0x0, y0x1, y1x0, y1x1)
+    w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+    idx = starts + by * ws + bx
+    return idx, w
+
+
+def build_patch_map(value, spatial_shapes):
+    """[B, S, H, D] -> [B, S, H, 4, D]: each row carries its 2x2 pixel patch
+    (self, right, down, down-right), zero-padded at the bottom/right edges."""
+    B, S, H, D = value.shape
+    starts = level_start_indices(spatial_shapes)
+    patches = []
+    for lid, (h, w) in enumerate(spatial_shapes):
+        v = value[:, starts[lid]:starts[lid] + h * w].reshape(B, h, w, H, D)
+        vp = jnp.pad(v, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
+        patch = jnp.stack(
+            [vp[:, :h, :w], vp[:, :h, 1:w + 1],
+             vp[:, 1:h + 1, :w], vp[:, 1:h + 1, 1:w + 1]],
+            axis=4,
+        )  # [B, h, w, H, 4, D]
+        patches.append(patch.reshape(B, h * w, H, 4, D))
+    return jnp.concatenate(patches, axis=1)
+
+
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
                    chunk: int = 1024):
-    """Fused-gather MSDA forward; differentiable via XLA autodiff.
+    """Patched-gather MSDA forward; differentiable via XLA autodiff.
 
-    The gathered corner tensor [B, H, Q, L*P*4, D] would be enormous for
-    encoder self-attention (21 GB at batch 16, Q = 10200) — instead the query
-    axis is processed in `chunk`-sized pieces under `lax.map` with
-    rematerialization, so both forward and backward peak at one chunk's
-    gather (the backward recomputes the gather and scatter-adds grad_value,
-    exactly what the reference CUDA col2im kernel does,
-    ms_deform_im2col_cuda.cuh:845-922).
+    Two TPU-measured facts shape this implementation:
+      - gathers cost ~13 ns per ROW independent of row width up to ~512 B, so
+        the four bilinear corners are fetched as ONE row of a precomputed
+        2x2-patch map (4x fewer rows than a per-corner gather: 1.2 s -> ~0.3 s
+        per encoder layer at batch 16);
+      - the gathered tensor for encoder self-attention would be huge
+        (Q = 10200), so the query axis runs in `chunk` pieces under `lax.map`
+        + rematerialization; the backward recomputes the gather and
+        scatter-adds grad_value — the same strategy as the reference CUDA
+        col2im kernel (ms_deform_im2col_cuda.cuh:845-922).
 
     `spatial_shapes` must be a static (python) sequence of (h, w) pairs.
     """
     B, S, H, D = value.shape
     Bq, Q, Hq, L, P, _ = sampling_locations.shape
     assert H == Hq and len(spatial_shapes) == L
-    K = L * P * 4
+    K = L * P  # one patch row per point
 
     starts = level_start_indices(spatial_shapes)
-    idx, w = _corner_indices_and_weights(sampling_locations, spatial_shapes, starts)
-    # Fold bilinear corner weights into the attention weights: one weight per
-    # gathered row.  [B, Q, H, L, P, 4]
+    idx, w = _patch_base_and_weights(sampling_locations, spatial_shapes, starts)
+    # fold attention weights into the 4 patch-slot weights: [B, Q, H, L, P, 4]
     w = w * attention_weights[..., None]
 
-    value_t = jnp.swapaxes(value, 1, 2)  # [B, H, S, D]
-    idx_t = jnp.transpose(idx, (0, 2, 1, 3, 4, 5)).reshape(B, H, Q, K)
-    w_t = jnp.transpose(w, (0, 2, 1, 3, 4, 5)).reshape(B, H, Q, K)
+    patch = build_patch_map(value, spatial_shapes)  # [B, S, H, 4, D]
+    patch_t = jnp.transpose(patch, (0, 2, 1, 3, 4)).reshape(B, H, S, 4 * D)
+    idx_t = jnp.transpose(idx, (0, 2, 1, 3, 4)).reshape(B, H, Q, K)
+    # fold the 4 patch slots into the contraction axis: a trailing dim of 4
+    # would be lane-padded 32x by the TPU tiler (observed 320 MB -> 10 GB on
+    # this tensor's gradient)
+    w_t = jnp.transpose(w, (0, 2, 1, 3, 4, 5)).reshape(B, H, Q, K * 4)
 
     def gather_chunk(idx_c, w_c):
-        """[B, H, q, K] -> [B, H, q, D]"""
+        """idx [B, H, q, K], w [B, H, q, K*4] -> [B, H, q, D]"""
         q = idx_c.shape[2]
         g = jnp.take_along_axis(
-            value_t, idx_c.reshape(B, H, q * K)[..., None], axis=2
-        ).reshape(B, H, q, K, D)
+            patch_t, idx_c.reshape(B, H, q * K)[..., None], axis=2
+        ).reshape(B, H, q, K * 4, D)
         return jnp.einsum("bhqk,bhqkd->bhqd", w_c, g)
 
     if Q <= chunk:
@@ -123,7 +196,7 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
         idx_p = jnp.pad(idx_t, ((0, 0), (0, 0), (0, pad), (0, 0)))
         w_p = jnp.pad(w_t, ((0, 0), (0, 0), (0, pad), (0, 0)))
         idx_c = idx_p.reshape(B, H, n, chunk, K).transpose(2, 0, 1, 3, 4)
-        w_c = w_p.reshape(B, H, n, chunk, K).transpose(2, 0, 1, 3, 4)
+        w_c = w_p.reshape(B, H, n, chunk, K * 4).transpose(2, 0, 1, 3, 4)
         out = jax.lax.map(
             jax.checkpoint(lambda args: gather_chunk(*args)), (idx_c, w_c)
         )  # [n, B, H, chunk, D]

@@ -139,6 +139,101 @@ def class2angle_np(cls, residual, to_label_format=False):
     return angle
 
 
+def gaussian_radius(bbox_size, min_overlap=0.7):
+    """Minimum gaussian radius keeping IoU >= min_overlap for a (h, w) box —
+    the three quadratic cases from CornerNet (lib/datasets/utils.py:29-50)."""
+    height, width = bbox_size
+
+    # NOTE: all three roots use the canonical CornerNet "(b + sqrt)/2" form
+    # (without the 1/2a factor) — mathematically off for cases 2/3 but kept
+    # for behavioral parity with every published implementation.
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    b1 = height + width
+    r1 = (b1 + np.sqrt(b1 ** 2 - 4 * c1)) / 2
+
+    a2 = 4
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    r2 = (b2 + np.sqrt(b2 ** 2 - 4 * a2 * c2)) / 2
+
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    r3 = (b3 + np.sqrt(b3 ** 2 - 4 * a3 * c3)) / 2
+    return min(r1, r2, r3)
+
+
+def gaussian2d(shape, sigma=1.0):
+    """Unnormalized 2-D gaussian patch (lib/datasets/utils.py:52-58)."""
+    m, n = [(s - 1.0) / 2.0 for s in shape]
+    y, x = np.ogrid[-m:m + 1, -n:n + 1]
+    h = np.exp(-(x * x + y * y) / (2 * sigma * sigma))
+    h[h < np.finfo(h.dtype).eps * h.max()] = 0
+    return h
+
+
+def draw_heatmap_gaussian(heatmap, center, radius, k=1):
+    """Max-composite a gaussian peak into `heatmap` in place (umich style,
+    lib/datasets/utils.py:61-74).  Host-side numpy: heatmap targets are built
+    in the data pipeline, not on device."""
+    diameter = 2 * radius + 1
+    gaussian = gaussian2d((diameter, diameter), sigma=diameter / 6)
+    x, y = int(center[0]), int(center[1])
+    height, width = heatmap.shape[0:2]
+
+    left, right = min(x, radius), min(width - x, radius + 1)
+    top, bottom = min(y, radius), min(height - y, radius + 1)
+    if right + left <= 0 or bottom + top <= 0:
+        return heatmap
+    region = heatmap[y - top:y + bottom, x - left:x + right]
+    patch = gaussian[radius - top:radius + bottom, radius - left:radius + right]
+    np.maximum(region, patch * k, out=region)
+    return heatmap
+
+
+def draw_msra_gaussian(heatmap, center, sigma):
+    """Max-composite an msra-style (sigma-parameterized) gaussian
+    (lib/datasets/utils.py:77-98), preserving the reference's (w, h) naming
+    swap — it indexes shape[0] as w — which is harmless on square maps and
+    reproduced here for bit parity."""
+    tmp_size = sigma * 3
+    mu_x = int(center[0] + 0.5)
+    mu_y = int(center[1] + 0.5)
+    w, h = heatmap.shape[0], heatmap.shape[1]
+    ul = [int(mu_x - tmp_size), int(mu_y - tmp_size)]
+    br = [int(mu_x + tmp_size + 1), int(mu_y + tmp_size + 1)]
+    if ul[0] >= h or ul[1] >= w or br[0] < 0 or br[1] < 0:
+        return heatmap
+    size = 2 * tmp_size + 1
+    x = np.arange(0, size, 1, np.float32)
+    y = x[:, np.newaxis]
+    x0 = y0 = size // 2
+    g = np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * sigma ** 2))
+    g_x = max(0, -ul[0]), min(br[0], h) - ul[0]
+    g_y = max(0, -ul[1]), min(br[1], w) - ul[1]
+    img_x = max(0, ul[0]), min(br[0], h)
+    img_y = max(0, ul[1]), min(br[1], w)
+    heatmap[img_y[0]:img_y[1], img_x[0]:img_x[1]] = np.maximum(
+        heatmap[img_y[0]:img_y[1], img_x[0]:img_x[1]],
+        g[g_y[0]:g_y[1], g_x[0]:g_x[1]])
+    return heatmap
+
+
+def draw_projected_box3d(image, corners2d, color=(255, 255, 255), thickness=1):
+    """Draw the 12 edges of a projected 3-D box into an image
+    (lib/datasets/utils.py:101-124; same vertex order: 0-3 top ring, 4-7
+    bottom ring).  Debug/visualization helper."""
+    import cv2
+
+    corners2d = corners2d.astype(np.int32)
+    for k in range(0, 4):
+        for i, j in ((k, (k + 1) % 4), (k + 4, (k + 1) % 4 + 4), (k, k + 4)):
+            cv2.line(image, (corners2d[i, 0], corners2d[i, 1]),
+                     (corners2d[j, 0], corners2d[j, 1]), color, thickness,
+                     lineType=cv2.LINE_AA)
+    return image
+
+
 def interpolate_1d_embed(coord, table):
     """Linear interpolation into a 1-D embedding table.
 

@@ -2,9 +2,11 @@
 TPU at the reference recipe's shapes (384x1280, batch 16, 550 grouped
 queries, full criterion + reference-AdamW update in one jitted step).
 
-Measured healthy steady state on v5e (bf16 + remat + donated buffers):
-~6 ms/step = ~2400-2700 img/s/chip; with per-step host sync (what this
-script reports) expect lower but still >> the 110 img/s (2x A100) target.
+Measured on v5e (bf16 + remat + donated buffers, value-fetch synced):
+windowed-Pallas encoder MSDA ~1.4 s/step (~11.5 img/s) vs the exact-gather
+formulation ~6.4 s/step (~2.5 img/s) — the Pallas kernel is a 4.6x
+end-to-end training speedup (kernel-level: fwd 447->65 ms, fwd+bwd
+1289->211 ms per encoder layer).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": R}
@@ -39,7 +41,7 @@ def main():
 
     B, H, W, T = 16, 384, 1280, 50
     # bf16 compute + remat: the TPU fast path (fp32 master params)
-    model = MonoDETR(dtype=jnp.bfloat16, remat=True)
+    model = MonoDETR(dtype=jnp.bfloat16, remat=True, msda_impl="pallas")
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
 
     rng = np.random.RandomState(0)

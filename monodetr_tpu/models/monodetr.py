@@ -50,6 +50,7 @@ class MonoDETR(nn.Module):
     position_embedding: str = "sine"  # 'sine' or 'learned'
     dtype: Any = jnp.float32  # compute dtype (bf16 for the TPU fast path)
     remat: bool = False  # rematerialize backbone blocks + encoder layers
+    msda_impl: str = "gather"  # encoder MSDA kernel: gather | pallas | windowed
 
     def setup(self):
         if self.position_embedding in ("v3", "learned"):
@@ -100,6 +101,7 @@ class MonoDETR(nn.Module):
             two_stage_num_proposals=self.num_queries,
             dtype=self.dtype,
             remat=self.remat,
+            msda_impl=self.msda_impl,
             name="transformer",
         )
 
@@ -317,4 +319,5 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         two_stage_dino=cfg.get("two_stage_dino", False),
         dtype=jnp.bfloat16 if cfg.get("dtype", "float32") in ("bf16", "bfloat16") else jnp.float32,
         remat=cfg.get("remat", False),
+        msda_impl=cfg.get("msda_impl", "gather"),
     )

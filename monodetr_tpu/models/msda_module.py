@@ -30,11 +30,23 @@ def _offset_bias_init(n_heads, n_levels, n_points):
 
 
 class MSDeformAttn(nn.Module):
+    """impl selects the sampling kernel:
+      - "gather": exact reference semantics (arbitrary offsets), XLA fused
+        row-gather — the parity path;
+      - "pallas": windowed TPU kernel (ops/msda_pallas.py), offsets clamped
+        to +-(window/2-1) px — the fast path for encoder self-attention
+        (requires grid queries, i.e. Q == S and 2-D reference points);
+      - "windowed": pure-XLA shift formulation of the same windowed math
+        (oracle/testing; slow at scale).
+    """
+
     d_model: int = 256
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
     dtype: Any = jnp.float32
+    impl: str = "gather"
+    window: int = 8
 
     @nn.compact
     def __call__(self, query, reference_points, value_tokens, spatial_shapes):
@@ -95,7 +107,24 @@ class MSDeformAttn(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 6")
 
-        out = ms_deform_attn(
-            value, tuple(spatial_shapes), loc, attn.astype(self.dtype)
-        )
+        if self.impl == "pallas":
+            assert reference_points.shape[-1] == 2 and Q == S, (
+                "pallas MSDA needs grid queries (encoder self-attention)")
+            from ..ops.msda_pallas import ms_deform_attn_pallas
+
+            out = ms_deform_attn_pallas(
+                value, tuple(spatial_shapes), loc,
+                attn.astype(jnp.float32), self.window
+            ).astype(self.dtype)
+        elif self.impl == "windowed":
+            assert reference_points.shape[-1] == 2 and Q == S
+            from ..ops.msda_windowed import ms_deform_attn_windowed
+
+            out = ms_deform_attn_windowed(
+                value, tuple(spatial_shapes), loc,
+                attn.astype(self.dtype), self.window)
+        else:
+            out = ms_deform_attn(
+                value, tuple(spatial_shapes), loc, attn.astype(self.dtype)
+            )
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)

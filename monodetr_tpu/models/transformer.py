@@ -106,12 +106,13 @@ class VisualEncoderLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     dtype: Any = jnp.float32
+    msda_impl: str = "gather"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, deterministic=True):
         src2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, impl=self.msda_impl, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
@@ -208,6 +209,7 @@ class DepthAwareTransformer(nn.Module):
     two_stage_num_proposals: int = 50
     dtype: Any = jnp.float32
     remat: bool = False
+    msda_impl: str = "gather"  # encoder self-attn kernel (see MSDeformAttn)
 
     @nn.compact
     def __call__(self, srcs, pos_embeds, query_embed, depth_embed,
@@ -256,7 +258,7 @@ class DepthAwareTransformer(nn.Module):
             memory = enc_cls(
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
-                dtype=self.dtype,
+                dtype=self.dtype, msda_impl=self.msda_impl,
                 name=f"encoder_layer_{i}",
             )(memory, pos_flat, enc_ref, spatial_shapes, deterministic)
 

@@ -1,0 +1,518 @@
+"""Pallas TPU kernel for windowed multi-scale deformable attention.
+
+This is the production encoder-MSDA path.  Same math as
+`msda_windowed.ms_deform_attn_windowed` (== the exact gather formulation
+`msda.ms_deform_attn` whenever sampling offsets stay within the G-window),
+restructured for the TPU memory system:
+
+  * per query tile, ONE async DMA per sampled level brings the covering
+    strip of the (pre-padded) value map into VMEM — no gathers, no scatter;
+  * the banded bilinear+attention weight matrix W2[T_q, strip_px] is built
+    in-register from int-iota coordinate vectors and hat functions
+    relu(1 - |f - j|) (the bilinear kernel evaluated densely over the strip);
+  * the sample-and-accumulate collapses into ONE MXU matmul per
+    (head, level): out_h += W2_h @ strip_h.
+
+The CUDA reference implements the same op as ~21M random-access bilinear
+fetches per layer (ms_deform_im2col_cuda.cuh:238-300); on TPU that compute
+shape is gather-issue-bound (~10 ns/row measured on v5e ⇒ ~0.4 s/layer).
+This kernel replaces it with dense VPU hat algebra + MXU matmuls — the
+structure XLA cannot derive on its own (a pure-XLA shift formulation
+materializes the padded shift stack per window slot and OOMs in backward).
+
+Layout contract (chosen so every Mosaic op is tile-aligned):
+  * fx, fy, att are pre-blocked to [B, NB, T, 128] with lane index
+    lv*32 + h*4 + p (L=4, H=8, P=4 ⇒ exactly 128 lanes);
+  * value maps: per level [B, hv + 2*PAD, wv + 2*PAD, H*D], zero-padded so
+    off-image bilinear corners read zeros (grid_sample 'zeros' semantics,
+    ms_deform_attn_func.py:55);
+  * strips are DMA'd as [SH, SWp, H*D] with SWp a multiple of 8 and
+    flattened to [SH*SWp, H*D] (a trivial sublane merge).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .msda import level_start_indices
+
+PAD = 24  # HBM halo: window + strip rounding + 8-alignment of x starts
+
+
+def _interpret():
+    """Run the kernels in interpreter mode off-TPU (the CPU test suite)."""
+    return jax.devices()[0].platform == "cpu"
+
+
+# --------------------------------------------------------------------------
+# static geometry
+# --------------------------------------------------------------------------
+
+def _tile_for_level(hq, wq):
+    """Query tile (th, tw) per level.  Capped at (8, 16) = 128 queries so the
+    per-tile W2 matrix and strips stay well inside scoped VMEM (measured:
+    (16, 32) tiles at the reference pyramid need ~36 MB > the 16 MB limit)."""
+    th = max(2, min(8, hq // 3))
+    tw = max(4, min(16, wq // 5))
+    while hq % th:
+        th -= 1
+    while wq % tw:
+        tw -= 1
+    return th, tw
+
+
+def _anchor0_fn(n_tile, nq, nv):
+    """Tile index -> floor(center-sample position) of the tile's first query
+    row, in sampled-level coords.  Works on python ints and traced int32."""
+    if nv == nq:
+        return lambda i: i * n_tile
+    if nv < nq:  # coarser
+        c = nq // nv
+        fh = math.floor(0.5 - 0.5 * c)
+        return lambda i: (i * n_tile + fh) // c
+    m = nv // nq  # finer
+    return lambda i: i * n_tile * m + m // 2 - 1
+
+
+def _strip_extent(n_tile, nq, nv, G):
+    """Max strip rows a tile's windows can touch along one axis (static)."""
+    span = -(-((n_tile - 1) * nv) // nq)  # ceil((n_tile-1) * nv/nq)
+    return span + G + 2
+
+
+def _geometry(spatial_shapes, lq, G):
+    hq, wq = spatial_shapes[lq]
+    th, tw = _tile_for_level(hq, wq)
+    geom = []
+    for hv, wv in spatial_shapes:
+        SH = _strip_extent(th, hq, hv, G)
+        SW = _strip_extent(tw, wq, wv, G)
+        geom.append({
+            "SH": SH,
+            # +8: x starts are quantized down to a multiple of 8 (DMA slice
+            # alignment on the sublane dim), so strips carry 8 slack columns
+            "SWp": -(-SW // 8) * 8 + 8,
+            "ay0": _anchor0_fn(th, hq, hv),
+            "ax0": _anchor0_fn(tw, wq, wv),
+        })
+    return (th, tw), geom
+
+
+def _check_pad(spatial_shapes, G):
+    """Every strip must stay inside the PAD halo (static check)."""
+    for lq, (hq, wq) in enumerate(spatial_shapes):
+        (th, tw), geom = _geometry(spatial_shapes, lq, G)
+        for lv, (hv, wv) in enumerate(spatial_shapes):
+            g = geom[lv]
+            for n_tiles, a0, extent, size in (
+                    (hq // th, g["ay0"], g["SH"], hv),
+                    (wq // tw, g["ax0"], g["SWp"], wv)):
+                lo = a0(0) + PAD - G // 2 - 7
+                hi = a0(n_tiles - 1) + PAD - G // 2 + extent
+                assert 0 <= lo and hi <= size + 2 * PAD, (lq, lv, lo, hi, size)
+
+
+def _center_positions(spatial_shapes):
+    """Static center-sample positions f_center [S, L, 2] (x, y) in each
+    sampled level's pixel coords (the encoder grid-query geometry)."""
+    per_level = []
+    sizes = [(w, h) for h, w in spatial_shapes]
+    for hq, wq in spatial_shapes:
+        ys, xs = np.meshgrid(np.arange(hq) + 0.5, np.arange(wq) + 0.5,
+                             indexing="ij")
+        ref = np.stack([xs / wq, ys / hq], -1).reshape(-1, 2)
+        cs = np.stack([ref * np.array([wv, hv], np.float32) - 0.5
+                       for wv, hv in sizes], 1)
+        per_level.append(cs)
+    return jnp.asarray(np.concatenate(per_level, 0).astype(np.float32))
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(fx_ref, fy_ref, att_ref, *refs, geom, nbx, H, D, G):
+    """One query tile: L strip DMAs, then per (level, head) W2 build + dot."""
+    L = len(geom)
+    v_refs = refs[:L]
+    out_ref = refs[L]
+    strip_refs = refs[L + 1:2 * L + 1]
+    sems = refs[2 * L + 1]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    by = i // nbx
+    bx = i - by * nbx
+
+    dmas = []
+    for lv, g in enumerate(geom):
+        sy = g["ay0"](by) + PAD - G // 2
+        sx = g["ax0"](bx) + PAD - G // 2
+        sx = (sx // 8) * 8  # sublane-dim DMA slices must be 8-aligned
+        dma = pltpu.make_async_copy(
+            v_refs[lv].at[b, pl.ds(sy, g["SH"]), pl.ds(sx, g["SWp"]), :],
+            strip_refs[lv],
+            sems.at[lv],
+        )
+        dma.start()
+        dmas.append(dma)
+
+    # f/att arrive TRANSPOSED [128, T]: per-sample rows are sublane slices
+    # (free address arithmetic) instead of single-lane extracts, and T = 128
+    # queries fill exactly one vreg of lanes for all the hat algebra.
+    fx = fx_ref[0, 0]    # [128, T]
+    fy = fy_ref[0, 0]
+    att = att_ref[0, 0]
+    T = fx.shape[1]
+
+    outs = [jnp.zeros((T, D), jnp.float32) for _ in range(H)]
+    for lv, g in enumerate(geom):
+        dmas[lv].wait()
+        SH, SWp = g["SH"], g["SWp"]
+        SP = SH * SWp
+        strip = strip_refs[lv][:].reshape(SP, H * D)
+
+        sy = g["ay0"](by) - G // 2
+        sx = ((g["ax0"](bx) + PAD - G // 2) // 8) * 8 - PAD
+        ii = jax.lax.broadcasted_iota(jnp.int32, (SP, 1), 0)
+        iy = ii // SWp
+        jy = (iy + sy).astype(jnp.float32)  # [SP, 1]
+        jx = (ii - iy * SWp + sx).astype(jnp.float32)
+
+        for h in range(H):
+            w2t = jnp.zeros((SP, T), jnp.float32)
+            for p in range(4):
+                lane = lv * 32 + h * 4 + p
+                haty = jnp.maximum(0.0, 1.0 - jnp.abs(fy[lane:lane + 1] - jy))
+                hatx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[lane:lane + 1] - jx))
+                w2t = w2t + att[lane:lane + 1] * (haty * hatx)
+            # out_h[i, d] = sum_j w2t[j, i] * strip[j, d]
+            outs[h] = outs[h] + jax.lax.dot_general(
+                w2t, strip[:, h * D:(h + 1) * D].astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    out_ref[0, 0] = jnp.concatenate(outs, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(fx_ref, fy_ref, att_ref, gout_ref, *refs,
+                geom, nbx, H, D, G):
+    """Per query tile: recompute W2 (flash-style) and emit
+
+      M_h         = gout_h @ strip_hᵀ           (MXU, [T, SP])
+      gatt        = Σ_j  hy·hx·M                (VPU lane reduce)
+      gf{x,y}     = att · Σ_j hy·hx'·M          (VPU)
+      grad strip  = W2ᵀ @ gout_h                (MXU, [SP, D])
+
+    Strip gradients are accumulated straight into the (aliased, f32) grad
+    maps with read-modify-write DMAs — safe because the TPU grid executes
+    sequentially on the core, so overlapping halo regions of consecutive
+    tiles never race.
+    """
+    L = len(geom)
+    v_refs = refs[:L]
+    # refs[L:2L] are the aliased grad-map INPUT refs — same memory as the
+    # output refs below; only the outputs are used.
+    gfx_ref, gfy_ref, gatt_ref = refs[2 * L:2 * L + 3]
+    gv_refs = refs[2 * L + 3:3 * L + 3]      # aliased output grad maps (f32)
+    strip_refs = refs[3 * L + 3:4 * L + 3]
+    gstrip_refs = refs[4 * L + 3:5 * L + 3]
+    sems = refs[5 * L + 3]
+    gsems = refs[5 * L + 4]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    by = i // nbx
+    bx = i - by * nbx
+
+    def region(g, ref):
+        sy = g["ay0"](by) + PAD - G // 2
+        sx = ((g["ax0"](bx) + PAD - G // 2) // 8) * 8
+        return ref.at[b, pl.ds(sy, g["SH"]), pl.ds(sx, g["SWp"]), :]
+
+    v_dmas, gin_dmas = [], []
+    for lv, g in enumerate(geom):
+        dma = pltpu.make_async_copy(region(g, v_refs[lv]), strip_refs[lv],
+                                    sems.at[lv])
+        dma.start()
+        v_dmas.append(dma)
+        gdma = pltpu.make_async_copy(region(g, gv_refs[lv]), gstrip_refs[lv],
+                                     gsems.at[lv])
+        gdma.start()
+        gin_dmas.append(gdma)
+
+    fx = fx_ref[0, 0]    # [128, T] (transposed lane packing, see fwd kernel)
+    fy = fy_ref[0, 0]
+    att = att_ref[0, 0]
+    gout = gout_ref[0, 0].astype(jnp.float32)  # [T, H*D]
+    T = fx.shape[1]
+
+    gout_dmas = []
+    for lv, g in enumerate(geom):
+        v_dmas[lv].wait()
+        gin_dmas[lv].wait()
+        SH, SWp = g["SH"], g["SWp"]
+        SP = SH * SWp
+        strip = strip_refs[lv][:].reshape(SP, H * D).astype(jnp.float32)
+
+        sy = g["ay0"](by) - G // 2
+        sx = ((g["ax0"](bx) + PAD - G // 2) // 8) * 8 - PAD
+        ii = jax.lax.broadcasted_iota(jnp.int32, (SP, 1), 0)
+        iy = ii // SWp
+        jy = (iy + sy).astype(jnp.float32)  # [SP, 1]
+        jx = (ii - iy * SWp + sx).astype(jnp.float32)
+
+        for h in range(H):
+            gout_h = gout[:, h * D:(h + 1) * D]
+            # m[j, i] = <strip[j], gout[i]>
+            m = jax.lax.dot_general(
+                strip[:, h * D:(h + 1) * D], gout_h,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [SP, T]
+            w2t = jnp.zeros((SP, T), jnp.float32)
+            # per-sample grads go straight to the output refs as sublane rows
+            # — holding them for a final concat keeps 128 [SP, T]-sized
+            # chains alive and blows the scoped-VMEM budget
+            for p in range(4):
+                lane = lv * 32 + h * 4 + p
+                a = att[lane:lane + 1]              # [1, T]
+                dy = fy[lane:lane + 1] - jy          # [SP, T]
+                dx = fx[lane:lane + 1] - jx
+                hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+                hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
+                t = hy * m
+                u = hx * m
+                w2t = w2t + a * (hy * hx)
+                gatt_ref[0, 0, lane:lane + 1, :] = jnp.sum(
+                    t * hx, axis=0, keepdims=True)
+                dhx = jnp.where(jnp.abs(dx) < 1.0, -jnp.sign(dx), 0.0)
+                dhy = jnp.where(jnp.abs(dy) < 1.0, -jnp.sign(dy), 0.0)
+                gfx_ref[0, 0, lane:lane + 1, :] = a * jnp.sum(
+                    t * dhx, axis=0, keepdims=True)
+                gfy_ref[0, 0, lane:lane + 1, :] = a * jnp.sum(
+                    u * dhy, axis=0, keepdims=True)
+            gs_h = jnp.dot(w2t, gout_h,
+                           preferred_element_type=jnp.float32)  # [SP, D]
+            gstrip_refs[lv][:, :, h * D:(h + 1) * D] = (
+                gstrip_refs[lv][:, :, h * D:(h + 1) * D]
+                + gs_h.reshape(SH, SWp, D))
+        gdma = pltpu.make_async_copy(gstrip_refs[lv], region(g, gv_refs[lv]),
+                                     gsems.at[lv])
+        gdma.start()
+        gout_dmas.append(gdma)
+
+    for gdma in gout_dmas:
+        gdma.wait()
+
+
+# --------------------------------------------------------------------------
+# host-side wrapper
+# --------------------------------------------------------------------------
+
+def _blockify(x, hq, wq, th, tw):
+    """[B, nq, C] (level-major rows) -> [B, NB, th*tw, C]."""
+    B, nq, C = x.shape
+    x = x.reshape(B, hq // th, th, wq // tw, tw, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, (hq // th) * (wq // tw), th * tw, C)
+
+
+def _unblockify(x, hq, wq, th, tw):
+    B = x.shape[0]
+    C = x.shape[-1]
+    x = x.reshape(B, hq // th, wq // tw, th, tw, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, hq * wq, C)
+
+
+def _preprocess(value, spatial_shapes, sampling_locations, attention_weights,
+                G):
+    """Shared fwd/bwd prep: padded per-level maps + lane-packed coords."""
+    B, S, H, D = value.shape
+    starts = level_start_indices(spatial_shapes)
+
+    vmaps = []
+    for lv, (hv, wv) in enumerate(spatial_shapes):
+        m = value[:, starts[lv]:starts[lv] + hv * wv].reshape(B, hv, wv, H * D)
+        vmaps.append(jnp.pad(m, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0))))
+
+    sizes = np.array([[w, h] for h, w in spatial_shapes], np.float32)
+    f_raw = (sampling_locations.astype(jnp.float32)
+             * sizes[None, None, None, :, None, :] - 0.5)
+    centers = _center_positions(spatial_shapes)[None, :, None, :, None, :]
+    lim = G / 2 - 1 - 1e-2
+    f = jnp.clip(f_raw, centers - lim, centers + lim)
+    unclamped = (f_raw > centers - lim) & (f_raw < centers + lim)
+
+    def lanes(x):  # [B, S, H, L, P] -> [B, S, 128] lane order (lv, h, p)
+        return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(B, S, 128)
+
+    fx = lanes(f[..., 0])
+    fy = lanes(f[..., 1])
+    att = lanes(attention_weights.astype(jnp.float32))
+    return vmaps, fx, fy, att, unclamped, sizes
+
+
+def _lane_spec(T):
+    """Lane-packed coords travel transposed: [B, NB, 128, T]."""
+    return pl.BlockSpec((1, 1, 128, T), lambda b, i: (b, i, 0, 0))
+
+
+def _fwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
+              window):
+    B, S, H, D = value.shape
+    G = window
+    _check_pad(spatial_shapes, G)
+    starts = level_start_indices(spatial_shapes)
+    L = len(spatial_shapes)
+    vmaps, fx, fy, att, _, _ = _preprocess(
+        value, spatial_shapes, sampling_locations, attention_weights, G)
+
+    outs = []
+    for lq, (hq, wq) in enumerate(spatial_shapes):
+        (th, tw), geom = _geometry(spatial_shapes, lq, G)
+        s0, nq = starts[lq], hq * wq
+        nbx = wq // tw
+        NB = (hq // th) * nbx
+        T = th * tw
+
+        def blk(x):
+            b = _blockify(x[:, s0:s0 + nq], hq, wq, th, tw)
+            return jnp.transpose(b, (0, 1, 3, 2))  # [B, NB, 128, T]
+
+        kernel = functools.partial(_fwd_kernel, geom=geom, nbx=nbx,
+                                   H=H, D=D, G=G)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, NB),
+            in_specs=[_lane_spec(T)] * 3
+            + [pl.BlockSpec(memory_space=pl.ANY)] * L,
+            out_specs=pl.BlockSpec((1, 1, T, H * D), lambda b, i: (b, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, NB, T, H * D), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((g["SH"], g["SWp"], H * D), value.dtype)
+                for g in geom
+            ] + [pltpu.SemaphoreType.DMA((L,))],
+            interpret=_interpret(),
+        )(blk(fx), blk(fy), blk(att), *vmaps)
+        outs.append(_unblockify(out, hq, wq, th, tw))
+
+    return jnp.concatenate(outs, axis=1).astype(value.dtype)
+
+
+def _bwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
+              window, gout):
+    B, S, H, D = value.shape
+    G = window
+    starts = level_start_indices(spatial_shapes)
+    L = len(spatial_shapes)
+    vmaps, fx, fy, att, unclamped, sizes = _preprocess(
+        value, spatial_shapes, sampling_locations, attention_weights, G)
+    gout = gout.reshape(B, S, H * D).astype(jnp.float32)
+
+    gvmaps = [jnp.zeros(v.shape, jnp.float32) for v in vmaps]
+    gfx = jnp.zeros((B, S, 128), jnp.float32)
+    gfy = jnp.zeros((B, S, 128), jnp.float32)
+    gatt = jnp.zeros((B, S, 128), jnp.float32)
+
+    for lq, (hq, wq) in enumerate(spatial_shapes):
+        (th, tw), geom = _geometry(spatial_shapes, lq, G)
+        s0, nq = starts[lq], hq * wq
+        nbx = wq // tw
+        NB = (hq // th) * nbx
+        T = th * tw
+
+        def blk(x):
+            return _blockify(x[:, s0:s0 + nq], hq, wq, th, tw)
+
+        def blkT(x):
+            return jnp.transpose(blk(x), (0, 1, 3, 2))  # [B, NB, 128, T]
+
+        kernel = functools.partial(_bwd_kernel, geom=geom, nbx=nbx,
+                                   H=H, D=D, G=G)
+        gfx_b, gfy_b, gatt_b, *gvmaps = pl.pallas_call(
+            kernel,
+            grid=(B, NB),
+            in_specs=[_lane_spec(T)] * 3
+            + [pl.BlockSpec((1, 1, T, H * D), lambda b, i: (b, i, 0, 0))]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * L),
+            out_specs=[_lane_spec(T)] * 3
+            + [pl.BlockSpec(memory_space=pl.ANY)] * L,
+            out_shape=[jax.ShapeDtypeStruct((B, NB, 128, T), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct(v.shape, jnp.float32) for v in vmaps],
+            input_output_aliases={4 + L + lv: 3 + lv for lv in range(L)},
+            scratch_shapes=[
+                pltpu.VMEM((g["SH"], g["SWp"], H * D), value.dtype)
+                for g in geom
+            ] + [
+                pltpu.VMEM((g["SH"], g["SWp"], H * D), jnp.float32)
+                for g in geom
+            ] + [pltpu.SemaphoreType.DMA((L,)), pltpu.SemaphoreType.DMA((L,))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=24 * 1024 * 1024),
+            interpret=_interpret(),
+        )(blkT(fx), blkT(fy), blkT(att), blk(gout), *vmaps, *gvmaps)
+
+        def unblk(x):  # [B, NB, 128, T] -> [B, nq, 128]
+            return _unblockify(jnp.transpose(x, (0, 1, 3, 2)), hq, wq, th, tw)
+
+        gfx = gfx.at[:, s0:s0 + nq].set(unblk(gfx_b))
+        gfy = gfy.at[:, s0:s0 + nq].set(unblk(gfy_b))
+        gatt = gatt.at[:, s0:s0 + nq].set(unblk(gatt_b))
+
+    # grad value: strip the PAD halo and re-flatten level-major
+    gv_rows = []
+    for lv, (hv, wv) in enumerate(spatial_shapes):
+        core = gvmaps[lv][:, PAD:PAD + hv, PAD:PAD + wv, :]
+        gv_rows.append(core.reshape(B, hv * wv, H, D))
+    gvalue = jnp.concatenate(gv_rows, axis=1).astype(value.dtype)
+
+    def unlanes(x):  # [B, S, 128] -> [B, S, H, L, P]
+        return jnp.transpose(x.reshape(B, S, L, H, 4), (0, 1, 3, 2, 4))
+
+    # chain through f = loc * size - 0.5 (clamped): d f / d loc = size
+    gf = jnp.stack([unlanes(gfx), unlanes(gfy)], axis=-1)
+    gloc = (gf * unclamped.astype(jnp.float32)
+            * sizes[None, None, None, :, None, :]).astype(
+                sampling_locations.dtype)
+    gattn = unlanes(gatt).astype(attention_weights.dtype)
+    return gvalue, gloc, gattn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
+                          attention_weights, window: int = 8):
+    """Windowed MSDA for grid queries (Q == S): Pallas TPU implementation.
+
+    Semantics match ms_deform_attn_windowed(value, ..., window): sampling
+    positions are clamped to +-(G/2-1) pixels around each query's static
+    center position in every sampled level.  Differentiable via a custom
+    Pallas backward (W2 recompute + RMW strip-gradient accumulation).
+    """
+    return _fwd_impl(value, spatial_shapes, sampling_locations,
+                     attention_weights, window)
+
+
+def _fwd_rule(value, spatial_shapes, sampling_locations, attention_weights,
+              window):
+    out = _fwd_impl(value, spatial_shapes, sampling_locations,
+                    attention_weights, window)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _bwd_rule(spatial_shapes, window, res, gout):
+    value, sampling_locations, attention_weights = res
+    return _bwd_impl(value, spatial_shapes, sampling_locations,
+                     attention_weights, window, gout)
+
+
+ms_deform_attn_pallas.defvjp(_fwd_rule, _bwd_rule)

@@ -27,19 +27,32 @@ from ..ops import box_ops
 BIG_COST = 1e6
 
 
-def lap_solve(cost):
+def lap_solve(cost, row_valid=None):
     """Exact LAP on a square cost matrix [n, n]; returns col4row [n]: the
     column assigned to each row.
 
     Shortest-augmenting-path with dual updates — the same algorithm as
     scipy.optimize.linear_sum_assignment — expressed with fixed-shape lax
     control flow so it jits and vmaps.
+
+    row_valid [n] bool: rows marked False are skipped entirely (their
+    col4row stays -1).  This mirrors the reference, which solves the
+    rectangular [n_real_targets, n_queries] problem (matcher.py:89-104):
+    skipped rows place no constraint on the others, so the assignment of the
+    valid rows is identical to solving their sub-problem.  Perf contract:
+    a skipped row contributes ZERO iterations to both inner while loops —
+    under vmap the loop trip count is the max over lanes *that still have
+    work*, so callers should sort valid rows first (hungarian_match does)
+    to make the sequential depth track the real object count, not n.
     """
     n = cost.shape[0]
     INF = jnp.float32(1e18)
+    if row_valid is None:
+        row_valid = jnp.ones((n,), bool)
 
     def solve_row(carry, cur_row):
         u, v, col4row, row4col = carry
+        valid = row_valid[cur_row]
 
         shortest = jnp.full((n,), INF)
         path_row = jnp.full((n,), -1, jnp.int32)  # predecessor row per column
@@ -65,13 +78,15 @@ def lap_solve(cost):
             i = jnp.where(r < 0, i, r)
             return shortest, path_row, SR, SC, i, minVal, sink
 
-        init = (shortest, path_row, SR, SC, cur_row, jnp.float32(0.0), jnp.int32(-1))
+        # skipped rows start with sink >= 0: zero Dijkstra trips
+        init = (shortest, path_row, SR, SC, cur_row, jnp.float32(0.0),
+                jnp.where(valid, jnp.int32(-1), jnp.int32(0)))
         shortest, path_row, SR, SC, _, minVal, sink = jax.lax.while_loop(
             dij_cond, dij_body, init
         )
 
-        # dual updates
-        u = u.at[cur_row].add(minVal)
+        # dual updates (no-ops for skipped rows: SR/SC stay all-False there)
+        u = u.at[cur_row].add(jnp.where(valid, minVal, 0.0))
         rows = jnp.arange(n)
         c4r_safe = jnp.clip(col4row, 0, n - 1)
         row_upd = SR & (rows != cur_row) & (col4row >= 0)
@@ -91,7 +106,7 @@ def lap_solve(cost):
             return col4row, row4col, j_next, i == cur_row
 
         col4row, row4col, _, _ = jax.lax.while_loop(
-            aug_cond, aug_body, (col4row, row4col, sink, jnp.bool_(False))
+            aug_cond, aug_body, (col4row, row4col, sink, ~valid)
         )
         return (u, v, col4row, row4col), None
 
@@ -147,7 +162,8 @@ def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
     targets: labels [B, T] int, boxes_3d [B, T, 6], mask [B, T] bool
     Returns matched_q [B, G, T] int32 — for each (image, group, target slot)
     the index of the assigned query in [0, G*Nq); rows for invalid targets
-    point at ghost queries and must be masked with targets['mask'].
+    are unsolved (negative, pre-offset) and must be masked with
+    targets['mask'].
     """
     B, QG, C = outputs["pred_logits"].shape
     T = targets["labels"].shape[1]
@@ -155,6 +171,16 @@ def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
 
     logits = outputs["pred_logits"].reshape(B, group_num, nq, C)
     boxes = outputs["pred_boxes"].reshape(B, group_num, nq, 6)
+
+    # Sort target slots valid-first so lap_solve's skipped-row fast path
+    # collapses: the vmapped while-loop trip count then tracks the max real
+    # object count over (batch x groups), not the max_objs=50 padding.
+    mask = targets["mask"]
+    order = jnp.argsort(~mask, axis=1, stable=True)  # [B, T]
+    labels_s = jnp.take_along_axis(targets["labels"], order, axis=1)
+    tboxes_s = jnp.take_along_axis(
+        targets["boxes_3d"], order[..., None], axis=1)
+    valid_s = jnp.take_along_axis(mask, order, axis=1)
 
     def one(logits_g, boxes_g, labels, tboxes, valid):
         C_qt = matching_cost(
@@ -164,16 +190,23 @@ def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
         # LAP over rows=targets (pad to nq), cols=queries
         C_tq = C_qt.T  # [T, nq]
         pad = nq - T
+        row_valid = valid
         if pad > 0:
             C_tq = jnp.concatenate(
                 [C_tq, jnp.full((pad, nq), BIG_COST)], axis=0
             )
-        return lap_solve(C_tq)[:T]  # query index per target slot
+            row_valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        return lap_solve(C_tq, row_valid)[:T]  # query index per target slot
 
-    matched = jax.vmap(  # over batch
+    matched_s = jax.vmap(  # over batch
         jax.vmap(one, in_axes=(0, 0, None, None, None)),  # over groups
         in_axes=(0, 0, 0, 0, 0),
-    )(logits, boxes, targets["labels"], targets["boxes_3d"], targets["mask"])
+    )(logits, boxes, labels_s, tboxes_s, valid_s)
+
+    # undo the valid-first sort: slot order[b, i] was solved as row i
+    inv = jnp.argsort(order, axis=1)  # [B, T]
+    matched = jnp.take_along_axis(
+        matched_s, jnp.broadcast_to(inv[:, None, :], matched_s.shape), axis=2)
 
     # offset into the flat G*Nq query axis
     offsets = (jnp.arange(group_num) * nq)[None, :, None]

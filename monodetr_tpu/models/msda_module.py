@@ -14,6 +14,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.msda import ms_deform_attn
 
@@ -127,4 +128,8 @@ class MSDeformAttn(nn.Module):
             out = ms_deform_attn(
                 value, tuple(spatial_shapes), loc, attn.astype(self.dtype)
             )
+        # Named so the encoder's remat policy can SAVE the sampled output:
+        # re-running the sampling kernel during backward costs far more than
+        # the [B, S, H*D] buffer it saves (transformer.py enc remat policy).
+        out = checkpoint_name(out, "msda_sampled")
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)

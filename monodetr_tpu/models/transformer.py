@@ -252,8 +252,15 @@ class DepthAwareTransformer(nn.Module):
             (B, enc_ref.shape[0], self.num_feature_levels, 2),
         )
         memory = src_flat
-        enc_cls = nn.remat(VisualEncoderLayer, static_argnums=(4, 5)) \
-            if self.remat else VisualEncoderLayer
+        # remat the encoder layer EXCEPT the deformable-sampling output:
+        # re-running the sampling kernel in backward costs ~40 ms/layer on
+        # v5e while the saved buffer is only [B, S, H*D] bf16 (~100 MB);
+        # the cheap dense ops (projections, FFN, norms) still rematerialize.
+        enc_cls = nn.remat(
+            VisualEncoderLayer, static_argnums=(4, 5),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "msda_sampled"),
+        ) if self.remat else VisualEncoderLayer
         for i in range(self.num_encoder_layers):
             memory = enc_cls(
                 self.d_model, self.dim_feedforward, self.dropout,

@@ -9,7 +9,9 @@ restructured for the TPU memory system:
     strip of the (pre-padded) value map into VMEM — no gathers, no scatter;
   * the banded bilinear+attention weight matrix W2[T_q, strip_px] is built
     in-register from int-iota coordinate vectors and hat functions
-    relu(1 - |f - j|) (the bilinear kernel evaluated densely over the strip);
+    relu(1 - |f - j|); the strip grid is a product (iy, ix), so the hats are
+    evaluated separably on [SH, T] / [SWp, T] and expanded by one 3-D
+    broadcast multiply — ~5x less VPU work than dense [SP, T] evaluation;
   * the sample-and-accumulate collapses into ONE MXU matmul per
     (head, level): out_h += W2_h @ strip_h.
 
@@ -176,24 +178,33 @@ def _fwd_kernel(fx_ref, fy_ref, att_ref, *refs, geom, nbx, H, D, G):
         SH, SWp = g["SH"], g["SWp"]
         SP = SH * SWp
         strip = strip_refs[lv][:].reshape(SP, H * D)
+        mxu_dtype = (jnp.bfloat16 if strip.dtype == jnp.bfloat16
+                     else jnp.float32)
 
         sy = g["ay0"](by) - G // 2
         sx = ((g["ax0"](bx) + PAD - G // 2) // 8) * 8 - PAD
-        ii = jax.lax.broadcasted_iota(jnp.int32, (SP, 1), 0)
-        iy = ii // SWp
-        jy = (iy + sy).astype(jnp.float32)  # [SP, 1]
-        jx = (ii - iy * SWp + sx).astype(jnp.float32)
+        # separable hat build: the strip grid is a product (iy, ix), so the
+        # bilinear weights factor into per-axis hats evaluated on [SH, T]
+        # and [SWp, T] and expanded by a 3-D broadcast multiply — ~5x less
+        # VPU work than evaluating both hats densely on [SP, T]
+        jy_s = (jax.lax.broadcasted_iota(jnp.int32, (SH, 1), 0)
+                + sy).astype(jnp.float32)
+        jx_s = (jax.lax.broadcasted_iota(jnp.int32, (SWp, 1), 0)
+                + sx).astype(jnp.float32)
 
         for h in range(H):
-            w2t = jnp.zeros((SP, T), jnp.float32)
+            w3 = jnp.zeros((SH, SWp, T), jnp.float32)
             for p in range(4):
                 lane = lv * 32 + h * 4 + p
-                haty = jnp.maximum(0.0, 1.0 - jnp.abs(fy[lane:lane + 1] - jy))
-                hatx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[lane:lane + 1] - jx))
-                w2t = w2t + att[lane:lane + 1] * (haty * hatx)
+                hy = jnp.maximum(0.0, 1.0 - jnp.abs(fy[lane:lane + 1] - jy_s))
+                hx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[lane:lane + 1] - jx_s))
+                hy = att[lane:lane + 1] * hy
+                w3 = w3 + hy[:, None, :] * hx[None, :, :]
             # out_h[i, d] = sum_j w2t[j, i] * strip[j, d]
+            # (bf16 MXU operands when the values are bf16; f32 accumulate)
             outs[h] = outs[h] + jax.lax.dot_general(
-                w2t, strip[:, h * D:(h + 1) * D].astype(jnp.float32),
+                w3.reshape(SP, T).astype(mxu_dtype),
+                strip[:, h * D:(h + 1) * D].astype(mxu_dtype),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
@@ -262,46 +273,57 @@ def _bwd_kernel(fx_ref, fy_ref, att_ref, gout_ref, *refs,
         gin_dmas[lv].wait()
         SH, SWp = g["SH"], g["SWp"]
         SP = SH * SWp
-        strip = strip_refs[lv][:].reshape(SP, H * D).astype(jnp.float32)
+        strip = strip_refs[lv][:].reshape(SP, H * D)
+        mxu_dtype = (jnp.bfloat16 if strip.dtype == jnp.bfloat16
+                     else jnp.float32)
 
         sy = g["ay0"](by) - G // 2
         sx = ((g["ax0"](bx) + PAD - G // 2) // 8) * 8 - PAD
-        ii = jax.lax.broadcasted_iota(jnp.int32, (SP, 1), 0)
-        iy = ii // SWp
-        jy = (iy + sy).astype(jnp.float32)  # [SP, 1]
-        jx = (ii - iy * SWp + sx).astype(jnp.float32)
+        # separable hats (see forward kernel): per-axis hats on [SH, T] and
+        # [SWp, T]; reductions over the strip factor through the x axis
+        # first (sum_j hy*hx*M = sum_iy hy * (sum_ix hx * M3)), cutting the
+        # [SP, T]-sized VPU work ~2x
+        jy_s = (jax.lax.broadcasted_iota(jnp.int32, (SH, 1), 0)
+                + sy).astype(jnp.float32)
+        jx_s = (jax.lax.broadcasted_iota(jnp.int32, (SWp, 1), 0)
+                + sx).astype(jnp.float32)
 
         for h in range(H):
             gout_h = gout[:, h * D:(h + 1) * D]
             # m[j, i] = <strip[j], gout[i]>
             m = jax.lax.dot_general(
-                strip[:, h * D:(h + 1) * D], gout_h,
+                strip[:, h * D:(h + 1) * D].astype(mxu_dtype),
+                gout_h.astype(mxu_dtype),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)   # [SP, T]
-            w2t = jnp.zeros((SP, T), jnp.float32)
+            M3 = m.reshape(SH, SWp, T)
+            w3 = jnp.zeros((SH, SWp, T), jnp.float32)
             # per-sample grads go straight to the output refs as sublane rows
             # — holding them for a final concat keeps 128 [SP, T]-sized
             # chains alive and blows the scoped-VMEM budget
             for p in range(4):
                 lane = lv * 32 + h * 4 + p
-                a = att[lane:lane + 1]              # [1, T]
-                dy = fy[lane:lane + 1] - jy          # [SP, T]
-                dx = fx[lane:lane + 1] - jx
+                a = att[lane:lane + 1]               # [1, T]
+                dy = fy[lane:lane + 1] - jy_s        # [SH, T]
+                dx = fx[lane:lane + 1] - jx_s        # [SWp, T]
                 hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
                 hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
-                t = hy * m
-                u = hx * m
-                w2t = w2t + a * (hy * hx)
-                gatt_ref[0, 0, lane:lane + 1, :] = jnp.sum(
-                    t * hx, axis=0, keepdims=True)
                 dhx = jnp.where(jnp.abs(dx) < 1.0, -jnp.sign(dx), 0.0)
                 dhy = jnp.where(jnp.abs(dy) < 1.0, -jnp.sign(dy), 0.0)
+                R1 = jnp.sum(M3 * hx[None, :, :], axis=1)   # [SH, T]
+                R2 = jnp.sum(M3 * dhx[None, :, :], axis=1)  # [SH, T]
+                w3 = w3 + (a * hy)[:, None, :] * hx[None, :, :]
+                gatt_ref[0, 0, lane:lane + 1, :] = jnp.sum(
+                    hy * R1, axis=0, keepdims=True)
                 gfx_ref[0, 0, lane:lane + 1, :] = a * jnp.sum(
-                    t * dhx, axis=0, keepdims=True)
+                    hy * R2, axis=0, keepdims=True)
                 gfy_ref[0, 0, lane:lane + 1, :] = a * jnp.sum(
-                    u * dhy, axis=0, keepdims=True)
-            gs_h = jnp.dot(w2t, gout_h,
-                           preferred_element_type=jnp.float32)  # [SP, D]
+                    dhy * R1, axis=0, keepdims=True)
+            gs_h = jax.lax.dot_general(
+                w3.reshape(SP, T).astype(mxu_dtype),
+                gout_h.astype(mxu_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [SP, D]
             gstrip_refs[lv][:, :, h * D:(h + 1) * D] = (
                 gstrip_refs[lv][:, :, h * D:(h + 1) * D]
                 + gs_h.reshape(SH, SWp, D))

@@ -73,7 +73,10 @@ class MultiheadAttention(nn.Module):
         ) / np.sqrt(head_dim)
         if attn_mask is not None:
             logits = jnp.where(attn_mask, -1e9, logits)
-        attn = nn.softmax(logits, axis=-1)
+        # f32 logits/softmax for stability; probs drop to the compute dtype
+        # for the value contraction (the [B,H,1920,1920] f32 probs tensor
+        # dominated the depth-encoder's HBM traffic otherwise)
+        attn = nn.softmax(logits, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh.astype(attn.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, d_model)

@@ -50,9 +50,33 @@ def lap_solve(cost, row_valid=None):
     if row_valid is None:
         row_valid = jnp.ones((n,), bool)
 
+    # --- greedy row-reduction initialization (one fully-parallel round) ---
+    # u0 = row min, v0 = 0; every row whose argmin column is uncontested is
+    # matched there.  With v == 0 and tight matched edges this partial
+    # matching is optimal FOR ITS ROW SET (cost(M) = sum u0 = the dual lower
+    # bound valid for any column choice), which is exactly the invariant
+    # shortest-augmenting-path needs on a rectangular problem — so SAP
+    # completes it to the same optimum as solving from scratch, but most
+    # real rows now cost ZERO Dijkstra iterations.  (Note: LAPJV's *column*
+    # reduction v0[j] = min_i is NOT sound here — with rows < columns a
+    # nonzero v on matched columns breaks partial-matching optimality;
+    # observed as a 2% suboptimal assignment before this was removed.)
+    u0 = jnp.where(row_valid, jnp.min(cost, axis=1), 0.0)
+    v0 = jnp.zeros((n,))
+    rows_n = jnp.arange(n, dtype=jnp.int32)
+    jmin = jnp.argmin(cost, axis=1).astype(jnp.int32)     # [n] per row
+    # winner per column = lowest row index claiming it
+    claim = jnp.full((n,), n, jnp.int32).at[
+        jnp.where(row_valid, jmin, n)].min(rows_n, mode="drop")
+    has = row_valid & (claim[jmin] == rows_n)
+    col4row0 = jnp.where(has, jmin, -1).astype(jnp.int32)
+    row4col0 = jnp.full((n,), -1, jnp.int32).at[
+        jnp.where(has, jmin, n)].set(rows_n, mode="drop")
+
     def solve_row(carry, cur_row):
         u, v, col4row, row4col = carry
-        valid = row_valid[cur_row]
+        # skip ghost rows and rows already matched by the greedy init
+        valid = row_valid[cur_row] & (col4row[cur_row] < 0)
 
         shortest = jnp.full((n,), INF)
         path_row = jnp.full((n,), -1, jnp.int32)  # predecessor row per column
@@ -110,12 +134,21 @@ def lap_solve(cost, row_valid=None):
         )
         return (u, v, col4row, row4col), None
 
-    u = jnp.zeros((n,))
-    v = jnp.zeros((n,))
-    col4row = jnp.full((n,), -1, jnp.int32)
-    row4col = jnp.full((n,), -1, jnp.int32)
-    (u, v, col4row, row4col), _ = jax.lax.scan(
-        solve_row, (u, v, col4row, row4col), jnp.arange(n)
+    # scan only up to the last valid row (callers sort valid-first, so this
+    # is the real object count, not n) — rows beyond never need work
+    n_work = jnp.max(jnp.where(row_valid, rows_n, -1)) + 1
+
+    def outer_cond(state):
+        return state[0] < n_work
+
+    def outer_body(state):
+        cur_row, carry = state
+        carry, _ = solve_row(carry, cur_row)
+        return cur_row + 1, carry
+
+    _, (u, v, col4row, row4col) = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), (u0, v0, col4row0, row4col0)),
     )
     return col4row
 

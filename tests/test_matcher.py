@@ -130,3 +130,34 @@ def test_matching_cost_matches_numpy(rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_lap_solve_masked_rectangular_vs_scipy(seed):
+    """Padded/masked problems (the training shape): valid rows must get the
+    same optimal cost as scipy on the reduced [K, n] rectangular problem.
+
+    Regression guard: a LAPJV-style column-reduction greedy init satisfied
+    complementary slackness but broke the rectangular SAP invariant
+    (partial matchings must be optimal for their row set), producing ~2%
+    suboptimal assignments on exactly this shape.
+    """
+    rng = np.random.RandomState(100 + seed)
+    n = 50
+    K = rng.randint(1, 20)
+    C = (rng.rand(n, n) * 10).astype(np.float32)
+    # valid-first rows like hungarian_match's sort; ghosts get BIG_COST
+    C[K:] = BIG_COST
+    valid = np.zeros(n, bool)
+    valid[:K] = True
+    # adversarial: make several rows share the same argmin column so the
+    # greedy round conflicts and SAP must augment through matched columns
+    C[: min(K, 5), 0] = 0.01 * np.arange(min(K, 5))
+
+    got = np.asarray(lap_solve(jnp.asarray(C), jnp.asarray(valid)))
+    r, c = linear_sum_assignment(C[:K])
+    want_cost = C[:K][r, c].sum()
+    got_cost = C[np.arange(K), got[:K]].sum()
+    assert len(set(got[:K].tolist())) == K  # injective on valid rows
+    np.testing.assert_allclose(got_cost, want_cost, rtol=1e-5)
+    assert (got[K:] == -1).all()  # ghost rows untouched

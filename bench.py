@@ -2,11 +2,11 @@
 TPU at the reference recipe's shapes (384x1280, batch 16, 550 grouped
 queries, full criterion + reference-AdamW update in one jitted step).
 
-Measured on v5e (bf16 + remat + donated buffers, value-fetch synced):
-windowed-Pallas encoder MSDA ~1.4 s/step (~11.5 img/s) vs the exact-gather
-formulation ~6.4 s/step (~2.5 img/s) — the Pallas kernel is a 4.6x
-end-to-end training speedup (kernel-level: fwd 447->65 ms, fwd+bwd
-1289->211 ms per encoder layer).
+Measured on v5e (bf16, donated buffers, value-fetch synced): ~0.73 s/step
+(~22 img/s) with the windowed-Pallas encoder MSDA + greedy-init on-device
+Hungarian matcher, vs ~6.4 s/step (~2.5 img/s) for the exact-gather
+formulation it replaces (kernel-level: fwd 447->38 ms, fwd+bwd
+1289->96 ms per encoder layer).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": R}
@@ -41,7 +41,7 @@ def main():
 
     B, H, W, T = 16, 384, 1280, 50
     # bf16 compute + remat: the TPU fast path (fp32 master params)
-    model = MonoDETR(dtype=jnp.bfloat16, remat=True, msda_impl="pallas")
+    model = MonoDETR(dtype=jnp.bfloat16, remat=False, msda_impl="pallas")
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
 
     rng = np.random.RandomState(0)

@@ -180,6 +180,12 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
     # this tensor's gradient)
     w_t = jnp.transpose(w, (0, 2, 1, 3, 4, 5)).reshape(B, H, Q, K * 4)
 
+    # NOTE(perf, v5e): the take_along_axis VJP lowers to a while-loop of
+    # dynamic-update-slices over the B*H batch dims (~46 ms/decoder-layer).
+    # A flat single-table scatter-add custom_vjp microbenches at ~20 ms on
+    # identical shapes but regresses the FULL train step 20x (15 s/step,
+    # jax 0.9.0) — some interaction with surrounding fusions; don't retry
+    # without re-measuring the whole step.
     def gather_chunk(idx_c, w_c):
         """idx [B, H, q, K], w [B, H, q, K*4] -> [B, H, q, D]"""
         q = idx_c.shape[2]

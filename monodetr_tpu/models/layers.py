@@ -9,6 +9,7 @@ which is what the TPU vector units and MXU want.
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +45,11 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    # chunk the query axis when Tq*Tk exceeds this (0 disables): the probs
+    # tensor is then rematerialized per chunk in backward instead of being
+    # stored — the depth encoder's [B,H,1920,1920] probs dominated its HBM
+    # traffic otherwise.  Requires attn_mask=None (true for every caller).
+    chunk_threshold: int = 1_000_000
 
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True, attn_mask=None):
@@ -68,17 +74,61 @@ class MultiheadAttention(nn.Module):
             return x.reshape(B, T, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(qp, Tq), split(kp, Tk), split(vp, Tk)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
-        ) / np.sqrt(head_dim)
-        if attn_mask is not None:
-            logits = jnp.where(attn_mask, -1e9, logits)
-        # f32 logits/softmax for stability; probs drop to the compute dtype
-        # for the value contraction (the [B,H,1920,1920] f32 probs tensor
-        # dominated the depth-encoder's HBM traffic otherwise)
-        attn = nn.softmax(logits, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh.astype(attn.dtype))
+        scale = 1.0 / np.sqrt(head_dim)
+
+        qc = Tq
+        if attn_mask is None and self.chunk_threshold \
+                and Tq * Tk > self.chunk_threshold:
+            for d in range(min(512, Tq), 0, -1):  # largest divisor <= 512
+                if Tq % d == 0:
+                    qc = d
+                    break
+
+        drop_rng = None
+        if not deterministic and self.dropout > 0.0:
+            drop_rng = self.make_rng("dropout")
+
+        def attend(logits, rng):
+            """f32 logits -> compute-dtype probs (+ inverted dropout)."""
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            if rng is not None:
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - self.dropout, probs.shape)
+                probs = jnp.where(
+                    keep, probs / (1.0 - self.dropout), 0).astype(self.dtype)
+            return probs
+
+        if qc < Tq:
+            # chunk the query axis; probs rematerialize per chunk in
+            # backward (never stored), so the [B,H,Tq,Tk] tensor exists
+            # only qc rows at a time
+            nc = Tq // qc
+            qcks = qh.reshape(B, self.num_heads, nc, qc, head_dim)
+            qcks = qcks.transpose(2, 0, 1, 3, 4)  # [nc, B, H, qc, d]
+
+            def one(args):
+                i, qi = args
+                logits = jnp.einsum(
+                    "bhqd,bhkd->bhqk", qi, kh,
+                    preferred_element_type=jnp.float32) * scale
+                rng = None if drop_rng is None else jax.random.fold_in(
+                    drop_rng, i)
+                probs = attend(logits, rng)
+                return jnp.einsum(
+                    "bhqk,bhkd->bhqd", probs, vh.astype(probs.dtype))
+
+            out = jax.lax.map(
+                jax.checkpoint(one), (jnp.arange(nc), qcks))
+            out = out.transpose(1, 2, 0, 3, 4).reshape(
+                B, self.num_heads, Tq, head_dim)
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh,
+                preferred_element_type=jnp.float32) * scale
+            if attn_mask is not None:
+                logits = jnp.where(attn_mask, -1e9, logits)
+            attn = attend(logits, drop_rng)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh.astype(attn.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, d_model)
         return nn.Dense(d_model, dtype=self.dtype, name="out_proj")(out.astype(self.dtype))
 

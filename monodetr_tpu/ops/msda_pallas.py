@@ -87,21 +87,51 @@ def _strip_extent(n_tile, nq, nv, G):
     return span + G + 2
 
 
+VMEM_BUDGET = 11 * 1024 * 1024  # conservative per-tile scratch target
+
+
 def _geometry(spatial_shapes, lq, G):
     hq, wq = spatial_shapes[lq]
     th, tw = _tile_for_level(hq, wq)
-    geom = []
-    for hv, wv in spatial_shapes:
-        SH = _strip_extent(th, hq, hv, G)
-        SW = _strip_extent(tw, wq, wv, G)
-        geom.append({
-            "SH": SH,
-            # +8: x starts are quantized down to a multiple of 8 (DMA slice
-            # alignment on the sublane dim), so strips carry 8 slack columns
-            "SWp": -(-SW // 8) * 8 + 8,
-            "ay0": _anchor0_fn(th, hq, hv),
-            "ax0": _anchor0_fn(tw, wq, wv),
-        })
+
+    def build(th, tw):
+        geom = []
+        for hv, wv in spatial_shapes:
+            SH = _strip_extent(th, hq, hv, G)
+            SW = _strip_extent(tw, wq, wv, G)
+            geom.append({
+                "SH": SH,
+                # +8: x starts are quantized down to a multiple of 8 (DMA
+                # slice alignment on the sublane dim), so strips carry 8
+                # slack columns
+                "SWp": -(-SW // 8) * 8 + 8,
+                "ay0": _anchor0_fn(th, hq, hv),
+                "ax0": _anchor0_fn(tw, wq, wv),
+            })
+        return geom
+
+    def vmem_est(geom, T):
+        """Worst-case per-tile scratch: value+grad strips (f32) for every
+        level plus two [SP, T] f32 weight/product buffers for the largest
+        strip (w3/W2 and M3 in the backward kernel)."""
+        sp = [g["SH"] * g["SWp"] for g in geom]
+        return sum(sp) * 256 * (4 + 4) + 2 * max(sp) * T * 4
+
+    # Larger query levels at larger pyramids pull proportionally larger
+    # cross-level strips (observed: 2x-resolution level-2 tiles need ~19 MB
+    # > the 16 MB scoped-vmem limit); shrink the tile until the estimate
+    # fits the budget.
+    geom = build(th, tw)
+    while vmem_est(geom, th * tw) > VMEM_BUDGET and (th > 2 or tw > 4):
+        if tw > 4:
+            tw = max(4, tw // 2)
+            while wq % tw:
+                tw -= 1
+        else:
+            th = max(2, th // 2)
+            while hq % th:
+                th -= 1
+        geom = build(th, tw)
     return (th, tw), geom
 
 
@@ -424,6 +454,8 @@ def _fwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
                 pltpu.VMEM((g["SH"], g["SWp"], H * D), value.dtype)
                 for g in geom
             ] + [pltpu.SemaphoreType.DMA((L,))],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=_interpret(),
         )(blk(fx), blk(fy), blk(att), *vmaps)
         outs.append(_unblockify(out, hq, wq, th, tw))
@@ -480,7 +512,7 @@ def _bwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
                 for g in geom
             ] + [pltpu.SemaphoreType.DMA((L,)), pltpu.SemaphoreType.DMA((L,))],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=24 * 1024 * 1024),
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=_interpret(),
         )(blkT(fx), blkT(fy), blkT(att), blk(gout), *vmaps, *gvmaps)
 

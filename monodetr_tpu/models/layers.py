@@ -83,6 +83,8 @@ class MultiheadAttention(nn.Module):
                 if Tq % d == 0:
                     qc = d
                     break
+            if qc < 64:  # divisor-poor Tq: dense beats a long lax.map
+                qc = Tq
 
         drop_rng = None
         if not deterministic and self.dropout > 0.0:

@@ -195,7 +195,7 @@ def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
     targets: labels [B, T] int, boxes_3d [B, T, 6], mask [B, T] bool
     Returns matched_q [B, G, T] int32 — for each (image, group, target slot)
     the index of the assigned query in [0, G*Nq); rows for invalid targets
-    are unsolved (negative, pre-offset) and must be masked with
+    point at query 0 of their own group and must be masked with
     targets['mask'].
     """
     B, QG, C = outputs["pred_logits"].shape
@@ -240,6 +240,11 @@ def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
     inv = jnp.argsort(order, axis=1)  # [B, T]
     matched = jnp.take_along_axis(
         matched_s, jnp.broadcast_to(inv[:, None, :], matched_s.shape), axis=2)
+
+    # unsolved (invalid) slots come back as -1; pin them to query 0 of their
+    # own group so the post-offset index never aliases ANOTHER group's
+    # queries for a consumer that forgets to mask
+    matched = jnp.where(matched >= 0, matched, 0)
 
     # offset into the flat G*Nq query axis
     offsets = (jnp.arange(group_num) * nq)[None, :, None]

@@ -19,14 +19,23 @@ from jax.ad_checkpoint import checkpoint_name
 from ..ops.msda import ms_deform_attn
 
 
-def _offset_bias_init(n_heads, n_levels, n_points):
-    """Ring of unit directions scaled by point index (ms_deform_attn.py:107-114)."""
+def _offset_bias_init(n_heads, n_levels, n_points, max_radius=None):
+    """Ring of unit directions scaled by point index (ms_deform_attn.py:107-114).
+
+    max_radius rescales the ring so the OUTERMOST point sits at that radius
+    (in pixels).  The reference init puts point p at radius p+1 (up to
+    n_points px); the windowed kernels clamp sampling to +-(window/2-1) px,
+    and a bias initialized OUTSIDE the window would be clamped from step 0
+    with exactly-zero location gradient — those points could never train.
+    """
     thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
     grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # [H, 2]
     grid = grid / np.abs(grid).max(-1, keepdims=True)
     grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
     for i in range(n_points):
         grid[:, :, i, :] *= i + 1
+    if max_radius is not None:
+        grid *= max_radius / n_points
     return grid.reshape(-1)
 
 
@@ -66,12 +75,18 @@ class MSDeformAttn(nn.Module):
         value = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")(value_tokens)
         value = value.reshape(B, S, H, D)
 
+        # windowed kernels: fit the init ring inside the clamp window with
+        # margin (0.75 * lim) so every point starts with a live location
+        # gradient; exact-semantics gather keeps the reference radii
+        max_r = None
+        if self.impl in ("pallas", "windowed"):
+            max_r = 0.75 * (self.window / 2 - 1)
         offsets = nn.Dense(
             H * L * P * 2,
             dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
-                _offset_bias_init(H, L, P), dtype
+                _offset_bias_init(H, L, P, max_r), dtype
             ),
             name="sampling_offsets",
         )(query).reshape(B, Q, H, L, P, 2)

@@ -386,10 +386,28 @@ def _unblockify(x, hq, wq, th, tw):
     return x.reshape(B, hq * wq, C)
 
 
+def _check_contract(value, sampling_locations, spatial_shapes):
+    """The kernel hardcodes its lane packing and anchor algebra; reject any
+    configuration it would silently get wrong."""
+    H = value.shape[2]
+    L, P = sampling_locations.shape[3], sampling_locations.shape[4]
+    assert (H, L, P) == (8, 4, 4), (
+        f"pallas MSDA lane packing is hardcoded to lane = lv*32 + h*4 + p "
+        f"(H=8, L=4, P=4); got H={H}, L={L}, P={P} — use msda_impl='gather'")
+    for ha, wa in spatial_shapes:
+        for hb, wb in spatial_shapes:
+            for a, b in ((ha, hb), (wa, wb)):
+                r = max(a, b) // min(a, b)
+                assert min(a, b) * r == max(a, b) and (r & (r - 1)) == 0, (
+                    f"pallas MSDA anchor algebra needs power-of-two level "
+                    f"ratios per axis; got sizes {a} vs {b}")
+
+
 def _preprocess(value, spatial_shapes, sampling_locations, attention_weights,
                 G):
     """Shared fwd/bwd prep: padded per-level maps + lane-packed coords."""
     B, S, H, D = value.shape
+    _check_contract(value, sampling_locations, spatial_shapes)
     starts = level_start_indices(spatial_shapes)
 
     vmaps = []

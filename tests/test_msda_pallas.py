@@ -121,3 +121,42 @@ def test_pallas_grads_with_batch():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
             err_msg=f"grad mismatch: {name}")
+
+
+def test_pallas_loc_grads_near_and_beyond_window():
+    """Location gradients near (but strictly inside) and beyond the clamp.
+
+    Inside the window both paths propagate the bilinear-hat gradient;
+    clamped samples get exactly zero in both.  Exact-boundary ties are
+    excluded: the kernel's strict mask and jnp.clip's boundary subgradient
+    legitimately differ there (measure-zero in training, where the offset
+    init keeps points at 0.75*lim).
+    """
+    rng = np.random.RandomState(15)
+    L = len(SHAPES)
+    S = sum(h * w for h, w in SHAPES)
+    value = rng.randn(1, S, H, 4).astype(np.float32)
+    refs = grid_refs(SHAPES)
+    lim = G / 2 - 1 - 1e-2
+    mag = rng.choice([lim - 0.05, lim + 0.5], size=(1, S, H, L, P, 2))
+    off = (mag * rng.choice([-1.0, 1.0], size=mag.shape)).astype(np.float32)
+    norm = np.array([[w, h] for h, w in SHAPES], np.float32)
+    loc = (refs[None, :, None, None, None, :] +
+           off / norm[None, None, None, :, None, :]).astype(np.float32)
+    attn = rng.rand(1, S, H, L, P).astype(np.float32)
+    attn = attn / attn.sum((-1, -2), keepdims=True)
+
+    def loss_w(l):
+        return jnp.sum(jnp.sin(ms_deform_attn_windowed(
+            jnp.asarray(value), SHAPES, l, jnp.asarray(attn), G)))
+
+    def loss_p(l):
+        return jnp.sum(jnp.sin(ms_deform_attn_pallas(
+            jnp.asarray(value), SHAPES, l, jnp.asarray(attn), G)))
+
+    g_want = np.asarray(jax.grad(loss_w)(jnp.asarray(loc)))
+    g_got = np.asarray(jax.grad(loss_p)(jnp.asarray(loc)))
+    np.testing.assert_allclose(g_got, g_want, rtol=2e-3, atol=2e-4)
+    # the clamped samples must contribute exactly zero
+    clamped = np.abs(off) > lim
+    assert (g_got[clamped] == 0).all()

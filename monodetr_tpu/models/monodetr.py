@@ -51,6 +51,7 @@ class MonoDETR(nn.Module):
     dtype: Any = jnp.float32  # compute dtype (bf16 for the TPU fast path)
     remat: bool = False  # rematerialize backbone blocks + encoder layers
     msda_impl: str = "gather"  # encoder MSDA kernel: gather | pallas | windowed
+    dec_msda_impl: str = "dense"  # decoder cross-attn MSDA: dense (exact, fast) | gather
 
     def setup(self):
         if self.position_embedding in ("v3", "learned"):
@@ -102,6 +103,7 @@ class MonoDETR(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             msda_impl=self.msda_impl,
+            dec_msda_impl=self.dec_msda_impl,
             name="transformer",
         )
 
@@ -320,4 +322,5 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         dtype=jnp.bfloat16 if cfg.get("dtype", "float32") in ("bf16", "bfloat16") else jnp.float32,
         remat=cfg.get("remat", False),
         msda_impl=cfg.get("msda_impl", "gather"),
+        dec_msda_impl=cfg.get("dec_msda_impl", "dense"),
     )

@@ -46,6 +46,9 @@ class MSDeformAttn(nn.Module):
       - "pallas": windowed TPU kernel (ops/msda_pallas.py), offsets clamped
         to +-(window/2-1) px — the fast path for encoder self-attention
         (requires grid queries, i.e. Q == S and 2-D reference points);
+      - "dense": exact semantics via dense separable-hat MXU matmuls
+        (ops/msda.ms_deform_attn_dense) — the fast path for decoder-sized
+        query counts (cost scales with Q * S; no gather, no scatter);
       - "windowed": pure-XLA shift formulation of the same windowed math
         (oracle/testing; slow at scale).
     """
@@ -131,6 +134,12 @@ class MSDeformAttn(nn.Module):
             out = ms_deform_attn_pallas(
                 value, tuple(spatial_shapes), loc,
                 attn.astype(jnp.float32), self.window
+            ).astype(self.dtype)
+        elif self.impl == "dense":
+            from ..ops.msda import ms_deform_attn_dense
+
+            out = ms_deform_attn_dense(
+                value, tuple(spatial_shapes), loc, attn.astype(self.dtype)
             ).astype(self.dtype)
         elif self.impl == "windowed":
             assert reference_points.shape[-1] == 2 and Q == S

@@ -129,6 +129,10 @@ class DepthAwareDecoderLayer(nn.Module):
     group_num: int = 11
     num_queries: int = 50
     dtype: Any = jnp.float32
+    # decoder cross-attn MSDA kernel: "dense" is EXACT reference semantics
+    # (ops/msda.ms_deform_attn_dense) restructured as MXU matmuls — strictly
+    # faster than "gather" at decoder query counts on TPU.
+    msda_impl: str = "dense"
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -173,7 +177,7 @@ class DepthAwareDecoderLayer(nn.Module):
         # (3) deformable cross-attention into encoder memory (:506-508)
         tgt2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, name="cross_attn",
+            dtype=self.dtype, impl=self.msda_impl, name="cross_attn",
         )(tgt + query_pos, reference_points, src, spatial_shapes)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
@@ -210,6 +214,7 @@ class DepthAwareTransformer(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     msda_impl: str = "gather"  # encoder self-attn kernel (see MSDeformAttn)
+    dec_msda_impl: str = "dense"  # decoder cross-attn kernel (exact; fast)
 
     @nn.compact
     def __call__(self, srcs, pos_embeds, query_embed, depth_embed,
@@ -399,6 +404,7 @@ class DepthAwareTransformer(nn.Module):
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.nhead, self.dec_n_points,
                 self.group_num, self.num_queries, dtype=self.dtype,
+                msda_impl=self.dec_msda_impl,
                 name=f"decoder_layer_{lid}",
             )(tgt, query_pos, ref_input, memory, spatial_shapes, depth_embed,
               train, deterministic)

@@ -55,6 +55,7 @@ def make_train_step(model, criterion, step_fn, donate: bool = True) -> Callable:
         params, opt_state, stacked = _step(params, opt_state, batch, lr, rng)
         return params, opt_state, LossVector(tuple(loss_keys), stacked)
 
+    train_step.jitted = _step  # AOT access (profiling: .lower().compile())
     return train_step
 
 

@@ -13,6 +13,7 @@ import torch.nn.functional as F
 
 from monodetr_tpu.ops.msda import (
     ms_deform_attn,
+    ms_deform_attn_dense,
     ms_deform_attn_reference,
     level_start_indices,
 )
@@ -77,6 +78,36 @@ def test_jnp_reference_matches_fused(rng):
         ms_deform_attn_reference(jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(w))
     )
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("oob", [False, True])
+def test_dense_forward_matches_torch(rng, oob):
+    """The decoder's dense separable-hat formulation is bit-for-bit the same
+    math as grid_sample(zeros, align_corners=False) — including OOB corners."""
+    value, loc, w = make_inputs(rng, oob=oob)
+    want = torch_oracle(value, SHAPES, loc, w)
+    got = np.asarray(
+        ms_deform_attn_dense(jnp.asarray(value), SHAPES, jnp.asarray(loc), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_gradients_match_gather(rng):
+    """Dense-path grads vs the exact gather path's grads (itself torch-checked)."""
+    value, loc, w = make_inputs(rng, B=2, Q=5, H=2, D=8, P=2, oob=True)
+    g_out = rng.randn(2, 5, 2 * 8).astype(np.float32)
+
+    def f_gather(v, l, w_):
+        return ms_deform_attn(v, SHAPES, l, w_)
+
+    def f_dense(v, l, w_):
+        return ms_deform_attn_dense(v, SHAPES, l, w_)
+
+    args = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w))
+    _, vjp_g = jax.vjp(f_gather, *args)
+    _, vjp_d = jax.vjp(f_dense, *args)
+    for a, b in zip(vjp_g(jnp.asarray(g_out)), vjp_d(jnp.asarray(g_out))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("channels", [8, 16, 32])

@@ -11,17 +11,27 @@ import math
 from typing import Any, Dict
 
 
-def lr_at_epoch(cfg_lr: Dict[str, Any], base_lr: float, epoch: int) -> float:
+def lr_at_epoch(cfg_lr: Dict[str, Any], base_lr: float, epoch: int,
+                max_epoch: int = 195) -> float:
     """LR used *during* epoch `epoch` (0-based).
 
     Reference semantics: schedulers are stepped after each epoch, so epoch 0
     runs at base_lr (or warmup(0) = init_lr); epoch e runs at the value after
     e steps.
+
+    `type: 'cos'` is declared config surface in the reference
+    (configs/monodetr.yaml:99 "'step' or 'cos'") but its build_lr_scheduler
+    (scheduler_helper.py:6-18) ignores cfg['type'] and always builds the
+    step LambdaLR; here 'cos' is honored as standard cosine annealing
+    base_lr -> 0 over max_epoch (post-warmup).
     """
     warmup = cfg_lr.get("warmup", False)
     if warmup and epoch < 5:
         init_lr = 0.00001
         return init_lr + (base_lr - init_lr) * (1 - math.cos(math.pi * epoch / 5)) / 2
+
+    if cfg_lr.get("type", "step") == "cos":
+        return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / max_epoch))
 
     decay = 1.0
     for step in cfg_lr.get("decay_list", []):

@@ -132,7 +132,9 @@ class Trainer:
 
     def train_one_epoch(self, epoch):
         self.train_loader.set_epoch(epoch)
-        lr = jnp.float32(lr_at_epoch(self.lr_cfg, self.base_lr, epoch))
+        lr = jnp.float32(lr_at_epoch(
+            self.lr_cfg, self.base_lr, epoch,
+            max_epoch=int(self.cfg.get("max_epoch", 195))))
         t0 = time.time()
         n_imgs = 0
         # optional profiler trace of a few steps in the first epoch

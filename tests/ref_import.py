@@ -40,6 +40,11 @@ def _stub_torchvision():
     ops.boxes = boxes_m
     ops.misc = misc_m
 
+    # pd.py does `from torchvision import transforms` but only references it
+    # in a docstring
+    transforms_m = types.ModuleType("torchvision.transforms")
+    tv.transforms = transforms_m
+
     models_m = types.ModuleType("torchvision.models")
     utils_m = types.ModuleType("torchvision.models._utils")
 
@@ -58,6 +63,58 @@ def _stub_torchvision():
     sys.modules["torchvision.ops.misc"] = misc_m
     sys.modules["torchvision.models"] = models_m
     sys.modules["torchvision.models._utils"] = utils_m
+    sys.modules["torchvision.transforms"] = transforms_m
+
+
+def _stub_numba():
+    """numba isn't installed; the reference's kitti_dataset.py transitively
+    imports its numba/cuda-jitted eval at module scope.  Import-time only —
+    the jitted functions are never *called* by the goldens."""
+    if "numba" in sys.modules:
+        return
+    numba = types.ModuleType("numba")
+
+    def _jit(*args, **kwargs):
+        if len(args) == 1 and callable(args[0]) and not kwargs:
+            return args[0]
+        return lambda fn: fn
+
+    numba.jit = _jit
+    numba.njit = _jit
+    for name in ("float32", "float64", "int32", "int64", "boolean"):
+        setattr(numba, name, None)
+
+    cuda = types.ModuleType("numba.cuda")
+    cuda.jit = _jit
+
+    class _LocalArray:
+        @staticmethod
+        def array(shape, dtype=None):
+            raise NotImplementedError("numba stub")
+
+    cuda.local = _LocalArray
+    cuda.shared = _LocalArray
+    cuda.syncthreads = lambda: None
+    numba.cuda = cuda
+    sys.modules["numba"] = numba
+    sys.modules["numba.cuda"] = cuda
+
+
+def _stub_skimage():
+    """kitti_common.py does `from skimage import io` for an imread the golden
+    paths never call."""
+    if "skimage" in sys.modules:
+        return
+    skimage = types.ModuleType("skimage")
+    io_m = types.ModuleType("skimage.io")
+
+    def imread(*a, **k):
+        raise NotImplementedError("skimage stub")
+
+    io_m.imread = imread
+    skimage.io = io_m
+    sys.modules["skimage"] = skimage
+    sys.modules["skimage.io"] = io_m
 
 
 def _stub_msda_ext():
@@ -115,6 +172,8 @@ def _shim_old_torch_names():
 
 def install():
     _stub_torchvision()
+    _stub_numba()
+    _stub_skimage()
     _stub_msda_ext()
     _patch_cuda_to_cpu()
     _shim_old_torch_names()

@@ -257,6 +257,26 @@ def test_lr_schedule_reference_recipe():
     assert lr_at_epoch(cfg, 2e-4, 165) == pytest.approx(2e-6)
 
 
+def test_lr_schedule_cosine_decay():
+    """`type: 'cos'` — declared in the reference config (monodetr.yaml:99)
+    but ignored by its build_lr_scheduler; honored here as cosine annealing
+    base_lr -> 0 over max_epoch, composed with the 5-epoch cosine warmup."""
+    import math
+
+    cfg = {"type": "cos", "warmup": False}
+    assert lr_at_epoch(cfg, 2e-4, 0, max_epoch=100) == pytest.approx(2e-4)
+    assert lr_at_epoch(cfg, 2e-4, 50, max_epoch=100) == pytest.approx(1e-4)
+    assert lr_at_epoch(cfg, 2e-4, 100, max_epoch=100) == pytest.approx(0.0, abs=1e-12)
+    assert lr_at_epoch(cfg, 2e-4, 25, max_epoch=100) == pytest.approx(
+        2e-4 * 0.5 * (1 + math.cos(math.pi * 0.25)))
+    # warmup takes precedence for the first 5 epochs
+    cfg = {"type": "cos", "warmup": True}
+    assert lr_at_epoch(cfg, 2e-4, 0, max_epoch=100) == pytest.approx(1e-5)
+    # step config unaffected by the new kwarg
+    step = {"warmup": False, "decay_list": [10], "decay_rate": 0.1}
+    assert lr_at_epoch(step, 2e-4, 10, max_epoch=100) == pytest.approx(2e-5)
+
+
 # ------------------------------ SSD chain --------------------------------
 
 

@@ -185,10 +185,10 @@ def matching_cost(pred_logits, pred_boxes, tgt_labels, tgt_boxes, tgt_valid,
     return jnp.where(tgt_valid[None, :], C, BIG_COST)
 
 
-@partial(jax.jit, static_argnames=("group_num",))
+@partial(jax.jit, static_argnames=("group_num", "impl"))
 def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
                     cost_class=2.0, cost_3dcenter=10.0, cost_bbox=5.0,
-                    cost_giou=2.0):
+                    cost_giou=2.0, impl: str = "auto"):
     """Match padded targets to queries, per group.
 
     outputs: pred_logits [B, G*Nq, C], pred_boxes [B, G*Nq, 6]
@@ -197,7 +197,19 @@ def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
     the index of the assigned query in [0, G*Nq); rows for invalid targets
     point at query 0 of their own group and must be masked with
     targets['mask'].
+
+    impl: 'pallas' solves all B x G LAPs inside one Pallas kernel
+    (ops/lap_pallas.py — no per-iteration dispatch cost), 'xla' uses the
+    vmapped lax solver, 'auto' picks pallas on TPU.  Both are exact and
+    bit-identical.
     """
+    # the reference matcher runs under @torch.no_grad() (matcher.py:50);
+    # stopping gradients here keeps autodiff out of the solver entirely
+    # (required for the pallas impl, which has no VJP rule)
+    outputs = jax.lax.stop_gradient(
+        {k: outputs[k] for k in ("pred_logits", "pred_boxes")})
+    targets = jax.lax.stop_gradient(targets)
+
     B, QG, C = outputs["pred_logits"].shape
     T = targets["labels"].shape[1]
     nq = QG // group_num
@@ -215,7 +227,9 @@ def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
         targets["boxes_3d"], order[..., None], axis=1)
     valid_s = jnp.take_along_axis(mask, order, axis=1)
 
-    def one(logits_g, boxes_g, labels, tboxes, valid):
+    assert T <= nq, (T, nq)
+
+    def cost_one(logits_g, boxes_g, labels, tboxes, valid):
         C_qt = matching_cost(
             logits_g, boxes_g, labels, tboxes, valid,
             cost_class, cost_3dcenter, cost_bbox, cost_giou,
@@ -229,12 +243,22 @@ def hungarian_match(outputs: Dict, targets: Dict, group_num: int = 11,
                 [C_tq, jnp.full((pad, nq), BIG_COST)], axis=0
             )
             row_valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
-        return lap_solve(C_tq, row_valid)[:T]  # query index per target slot
+        return C_tq, row_valid
 
-    matched_s = jax.vmap(  # over batch
-        jax.vmap(one, in_axes=(0, 0, None, None, None)),  # over groups
+    C, rv = jax.vmap(  # over batch
+        jax.vmap(cost_one, in_axes=(0, 0, None, None, None)),  # over groups
         in_axes=(0, 0, 0, 0, 0),
-    )(logits, boxes, labels_s, tboxes_s, valid_s)
+    )(logits, boxes, labels_s, tboxes_s, valid_s)  # [B, G, nq, nq], [B, G, nq]
+
+    if impl == "auto":
+        impl = ("pallas" if jax.devices()[0].platform in ("tpu", "axon")
+                else "xla")
+    if impl == "pallas":
+        from ..ops.lap_pallas import lap_solve_pallas
+
+        matched_s = lap_solve_pallas(C, rv)[..., :T]
+    else:
+        matched_s = jax.vmap(jax.vmap(lap_solve))(C, rv)[..., :T]
 
     # undo the valid-first sort: slot order[b, i] was solved as row i
     inv = jnp.argsort(order, axis=1)  # [B, T]

@@ -1,10 +1,18 @@
 """KITTI dataset: host-side numpy pipeline producing fixed-shape batches.
 
-Parity with reference lib/datasets/kitti/kitti_dataset.py (KITTI_Dataset):
-photometric distort / flip / scale-shift crop augmentations, affine warp to
-1280x384, ImageNet normalization, and padded [max_objs=50] target encoding
-(writelist/level/depth-range/center-in-image filters, cxcylrtb 6-D boxes,
-LID-ready depths, heading bin+residual, mask_2d).  Differences by design:
+Behavior parity with reference lib/datasets/kitti/kitti_dataset.py
+(KITTI_Dataset) — photometric distort / flip / scale-shift crop
+augmentations, affine warp to 1280x384, ImageNet normalization, and padded
+[max_objs=50] target encoding (writelist/level/depth-range/center-in-image
+filters, cxcylrtb 6-D boxes, heading bin+residual, mask_2d) — pinned by the
+executable goldens in tests/test_golden_dataset.py, which run the
+reference's own __getitem__ side by side.
+
+The implementation is NOT the reference's: labels parse into a
+struct-of-arrays LabelTable and the whole target encoding is vectorized
+over objects (one affine matmul, one projection, one heading-bin pass for
+all boxes; the reference loops python per object, kitti_dataset.py:208-305).
+Differences by design:
 
   - images come out NHWC (TPU layout) instead of CHW;
   - targets stay padded + masked (the reference re-raggedizes them in
@@ -22,14 +30,15 @@ from PIL import Image, ImageFile
 ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 from .. import native
-from ..ops.utils import angle2class_np
 from .augment import PhotometricDistort
 from .kitti_utils import (
     Calibration,
     affine_transform,
     get_affine_transform,
-    get_objects_from_label,
+    read_label,
 )
+
+NUM_HEADING_BIN = 12
 
 
 class KITTIDataset:
@@ -98,9 +107,7 @@ class KITTIDataset:
         return Image.open(img_file)
 
     def get_label(self, idx):
-        return get_objects_from_label(
-            os.path.join(self.label_dir, "%06d.txt" % idx)
-        )
+        return read_label(os.path.join(self.label_dir, "%06d.txt" % idx))
 
     def get_calib(self, idx):
         return Calibration(os.path.join(self.calib_dir, "%06d.txt" % idx))
@@ -194,30 +201,16 @@ class KITTIDataset:
             calib = self.get_calib(index)
             return img, calib.P2, self._empty_targets(img_size), info
 
-        objects = self.get_label(index)
+        labels = self.get_label(index)
         calib = self.get_calib(index)
 
         if random_flip_flag:
             if self.aug_calib:
                 calib.flip(img_size)
-            for obj in objects:
-                x1, _, x2, _ = obj.box2d
-                obj.box2d[0], obj.box2d[2] = img_size[0] - x2, img_size[0] - x1
-                obj.alpha = np.pi - obj.alpha
-                obj.ry = np.pi - obj.ry
-                if self.aug_calib:
-                    obj.pos[0] *= -1
-                if obj.alpha > np.pi:
-                    obj.alpha -= 2 * np.pi
-                if obj.alpha < -np.pi:
-                    obj.alpha += 2 * np.pi
-                if obj.ry > np.pi:
-                    obj.ry -= 2 * np.pi
-                if obj.ry < -np.pi:
-                    obj.ry += 2 * np.pi
+            labels.flip_2d(img_size[0], flip_pos=self.aug_calib)
 
         targets = self._encode_targets(
-            objects, calib, trans, img_size, random_flip_flag, crop_scale
+            labels, calib, trans, img_size, random_flip_flag, crop_scale
         )
         targets["img_size"] = img_size.astype(np.float32)
         return img, calib.P2, targets, info
@@ -240,98 +233,101 @@ class KITTIDataset:
         }
         return t
 
-    def _encode_targets(self, objects, calib, trans, img_size,
+    def _encode_targets(self, labels, calib, trans, img_size,
                         random_flip_flag, crop_scale):
+        """Padded target encoding, vectorized over objects.
+
+        Semantics are the reference's per-object loop
+        (kitti_dataset.py:208-305), pinned by tests/test_golden_dataset.py:
+        surviving objects keep their ORIGINAL slot index i (filtered slots
+        stay zero), and `mask` additionally requires trunc<=0.5 & occ<=2.
+        """
         t = self._empty_targets(img_size)
-        object_num = min(len(objects), self.max_objs)
+        n = min(len(labels), self.max_objs)
+        if n == 0:
+            return t
+        lab = labels.head(n)
+        res = self.resolution.astype(np.float32)
 
-        for i in range(object_num):
-            obj = objects[i]
-            if obj.cls_type not in self.writelist:
-                continue
-            if obj.level_str == "UnKnown" or obj.pos[-1] < 2:
-                continue
-            if obj.pos[-1] > 65:
-                continue
+        keep = np.array([c in self.writelist for c in lab.cls], dtype=bool)
+        z = lab.pos[:, 2]
+        keep &= (lab.level != 4) & (z >= 2) & (z <= 65)
 
-            bbox_2d = obj.box2d.copy()
-            bbox_2d[:2] = affine_transform(bbox_2d[:2], trans)
-            bbox_2d[2:] = affine_transform(bbox_2d[2:], trans)
+        # one affine matmul for all box corners (float64 like the
+        # reference's np.dot(trans_f64, pt))
+        bbox_2d = np.concatenate(
+            [affine_transform(lab.box2d[:, :2], trans),
+             affine_transform(lab.box2d[:, 2:], trans)], axis=1)
+        center_2d = (bbox_2d[:, 0:2] + bbox_2d[:, 2:4]) / 2
 
-            center_2d = np.array(
-                [(bbox_2d[0] + bbox_2d[2]) / 2, (bbox_2d[1] + bbox_2d[3]) / 2],
-                dtype=np.float32,
-            )
-            corner_2d = bbox_2d.copy()
+        # project all 3-D centers at once
+        center_3d = lab.pos + np.stack(
+            [np.zeros(n, np.float32), -lab.hwl[:, 0] / 2,
+             np.zeros(n, np.float32)], axis=1)
+        center_3d, _ = calib.rect_to_img(center_3d)
+        if random_flip_flag and not self.aug_calib:
+            center_3d[:, 0] = img_size[0] - center_3d[:, 0]
+        center_3d = affine_transform(center_3d, trans)
 
-            center_3d = obj.pos + [0, -obj.h / 2, 0]
-            center_3d = center_3d.reshape(-1, 3)
-            center_3d, _ = calib.rect_to_img(center_3d)
-            center_3d = center_3d[0]
-            if random_flip_flag and not self.aug_calib:
-                center_3d[0] = img_size[0] - center_3d[0]
-            center_3d = affine_transform(center_3d.reshape(-1), trans)
+        keep &= (center_3d[:, 0] >= 0) & (center_3d[:, 0] < res[0])
+        keep &= (center_3d[:, 1] >= 0) & (center_3d[:, 1] < res[1])
 
-            if not (0 <= center_3d[0] < self.resolution[0]):
-                continue
-            if not (0 <= center_3d[1] < self.resolution[1]):
-                continue
+        size_2d = np.stack(
+            [bbox_2d[:, 2] - bbox_2d[:, 0], bbox_2d[:, 3] - bbox_2d[:, 1]], 1)
+        center_2d_norm = center_2d / res
+        size_2d_norm = size_2d / res
+        corner_2d_norm = bbox_2d / np.concatenate([res, res])
+        center_3d_norm = center_3d / res
 
-            cls_id = self.cls2id[obj.cls_type]
+        lrtb = np.stack(
+            [center_3d_norm[:, 0] - corner_2d_norm[:, 0],
+             corner_2d_norm[:, 2] - center_3d_norm[:, 0],
+             center_3d_norm[:, 1] - corner_2d_norm[:, 1],
+             corner_2d_norm[:, 3] - center_3d_norm[:, 1]], axis=1)
+        # the reference writes labels/size_2d BEFORE its lrtb>=0 continue
+        # (kitti_dataset.py:257-261 vs :274), so objects failing only that
+        # check keep their class id and 2-D size
+        keep_pre = keep.copy()
+        if self.clip_2d:
+            lrtb = np.clip(lrtb, 0, 1)
+        else:
+            keep &= (lrtb >= 0).all(axis=1)
 
-            w, h = bbox_2d[2] - bbox_2d[0], bbox_2d[3] - bbox_2d[1]
-            size_2d = np.array([w, h], np.float32)
-            center_2d_norm = center_2d / self.resolution
-            size_2d_norm = size_2d / self.resolution
-            corner_2d_norm = corner_2d.copy()
-            corner_2d_norm[0:2] = corner_2d[0:2] / self.resolution
-            corner_2d_norm[2:4] = corner_2d[2:4] / self.resolution
-            center_3d_norm = center_3d / self.resolution
+        cls_id = np.array([self.cls2id.get(c, 0) for c in lab.cls], np.int32)
 
-            l = center_3d_norm[0] - corner_2d_norm[0]
-            r = corner_2d_norm[2] - center_3d_norm[0]
-            tt = center_3d_norm[1] - corner_2d_norm[1]
-            b = corner_2d_norm[3] - center_3d_norm[1]
-            if l < 0 or r < 0 or tt < 0 or b < 0:
-                if self.clip_2d:
-                    l, r = np.clip(l, 0, 1), np.clip(r, 0, 1)
-                    tt, b = np.clip(tt, 0, 1), np.clip(b, 0, 1)
-                else:
-                    continue
+        if self.depth_scale == "normal":
+            depth = z * crop_scale
+        elif self.depth_scale == "inverse":
+            depth = z / crop_scale
+        else:  # 'none'
+            depth = z
 
-            t["labels"][i] = cls_id
-            t["size_2d"][i] = size_2d
-            t["boxes"][i] = [
-                center_2d_norm[0], center_2d_norm[1],
-                size_2d_norm[0], size_2d_norm[1],
-            ]
-            t["boxes_3d"][i] = [center_3d_norm[0], center_3d_norm[1], l, r, tt, b]
+        # heading: ry -> alpha at the (already-flipped) source box center,
+        # wrapped twice like ry2alpha + the caller's re-check, then binned
+        u = (lab.box2d[:, 0] + lab.box2d[:, 2]) / 2
+        heading = calib.ry2alpha(lab.ry, u)
+        heading = np.where(heading > np.pi, heading - 2 * np.pi, heading)
+        heading = np.where(heading < -np.pi, heading + 2 * np.pi, heading)
+        angle_per_class = 2 * np.pi / NUM_HEADING_BIN
+        shifted = (heading % (2 * np.pi) + angle_per_class / 2) % (2 * np.pi)
+        heading_bin = (shifted / angle_per_class).astype(np.int32)
+        heading_res = shifted - (heading_bin * angle_per_class + angle_per_class / 2)
 
-            if self.depth_scale == "normal":
-                t["depth"][i] = obj.pos[-1] * crop_scale
-            elif self.depth_scale == "inverse":
-                t["depth"][i] = obj.pos[-1] / crop_scale
-            else:  # 'none'
-                t["depth"][i] = obj.pos[-1]
+        src_size_3d = lab.hwl.astype(np.float32)
+        size_3d = src_size_3d - self.cls_mean_size[cls_id].astype(np.float32)
 
-            heading_angle = calib.ry2alpha(
-                obj.ry, (obj.box2d[0] + obj.box2d[2]) / 2
-            )
-            if heading_angle > np.pi:
-                heading_angle -= 2 * np.pi
-            if heading_angle < -np.pi:
-                heading_angle += 2 * np.pi
-            hb, hr = angle2class_np(heading_angle)
-            t["heading_bin"][i] = hb
-            t["heading_res"][i] = hr
-
-            src_size_3d = np.array([obj.h, obj.w, obj.l], np.float32)
-            t["src_size_3d"][i] = src_size_3d
-            t["size_3d"][i] = src_size_3d - self.cls_mean_size[cls_id]
-
-            if obj.trucation <= 0.5 and obj.occlusion <= 2:
-                t["mask"][i] = True
-
-            t["calibs"][i] = calib.P2
-
+        k1 = keep[:, None]
+        t["labels"][:n] = np.where(keep_pre, cls_id, 0)
+        t["size_2d"][:n] = np.where(keep_pre[:, None], size_2d, 0)
+        t["boxes"][:n] = np.where(
+            k1, np.concatenate([center_2d_norm, size_2d_norm], 1), 0)
+        t["boxes_3d"][:n] = np.where(
+            k1, np.concatenate([center_3d_norm, lrtb], 1), 0)
+        t["depth"][:n, 0] = np.where(keep, depth, 0)
+        t["heading_bin"][:n, 0] = np.where(keep, heading_bin, 0)
+        t["heading_res"][:n, 0] = np.where(keep, heading_res, 0)
+        t["src_size_3d"][:n] = np.where(k1, src_size_3d, 0)
+        t["size_3d"][:n] = np.where(k1, size_3d, 0)
+        t["mask"][:n] = keep & (lab.truncation <= 0.5) & (lab.occlusion <= 2)
+        t["calibs"][:n] = np.where(k1[:, :, None], calib.P2[None], 0)
         return t

@@ -1,88 +1,155 @@
-"""KITTI label / calibration primitives (host-side numpy).
+"""KITTI label / calibration primitives (host-side numpy, vectorized).
 
-Capability parity with reference lib/datasets/kitti/kitti_utils.py:
-Object3d parsing + difficulty levels, Calibration (P2/R0/V2C projections,
-alpha<->ry, SVD flip refit), and the 3-point affine warp builder (implemented
-with a direct linear solve instead of cv2.getAffineTransform — same math).
+Capability parity with reference lib/datasets/kitti/kitti_utils.py — label
+parsing + difficulty levels, Calibration (P2/R0/V2C projections, alpha<->ry,
+SVD flip refit), and the 3-point affine warp builder — but organized
+struct-of-arrays: a label file parses into one `LabelTable` whose per-object
+attributes are [N]-shaped numpy arrays, and every derived quantity
+(difficulty level, 2-D flip, 3-D corners) is computed for all objects at
+once.  The reference's per-object `Object3d` loop (kitti_utils.py:9-82) is
+deliberately not reproduced; at the target step rate the host pipeline is on
+the critical path and per-object python is the enemy.
+
+The affine builder matches cv2.getAffineTransform via a direct linear solve.
 """
 
 import numpy as np
 
-
-def get_objects_from_label(label_file):
-    with open(label_file) as f:
-        lines = f.readlines()
-    return [Object3d(line) for line in lines]
+LEVEL_NAMES = np.array(["DontCare", "Easy", "Moderate", "Hard", "UnKnown"])
 
 
-class Object3d:
-    def __init__(self, line):
-        label = line.strip().split(" ")
-        self.src = line
-        self.cls_type = label[0]
-        self.trucation = float(label[1])
-        self.occlusion = float(label[2])
-        self.alpha = float(label[3])
-        self.box2d = np.array(
-            (float(label[4]), float(label[5]), float(label[6]), float(label[7])),
-            dtype=np.float32,
-        )
-        self.h = float(label[8])
-        self.w = float(label[9])
-        self.l = float(label[10])
-        self.pos = np.array(
-            (float(label[11]), float(label[12]), float(label[13])), dtype=np.float32
-        )
-        self.dis_to_cam = np.linalg.norm(self.pos)
-        self.ry = float(label[14])
-        self.score = float(label[15]) if len(label) == 16 else -1.0
-        self.level_str = None
-        self.level = self.get_obj_level()
+def _wrap_pi(a):
+    """One wrap into (-pi, pi] — the reference's single if-based re-check."""
+    a = np.where(a > np.pi, a - 2 * np.pi, a)
+    return np.where(a < -np.pi, a + 2 * np.pi, a)
 
-    def get_obj_level(self):
-        """Easy/Moderate/Hard by bbox height, truncation, occlusion
-        (kitti_utils.py:33-51)."""
-        height = float(self.box2d[3]) - float(self.box2d[1]) + 1
-        if self.trucation == -1:
-            self.level_str = "DontCare"
-            return 0
-        if height >= 40 and self.trucation <= 0.15 and self.occlusion <= 0:
-            self.level_str = "Easy"
-            return 1
-        if height >= 25 and self.trucation <= 0.3 and self.occlusion <= 1:
-            self.level_str = "Moderate"
-            return 2
-        if height >= 25 and self.trucation <= 0.5 and self.occlusion <= 2:
-            self.level_str = "Hard"
-            return 3
-        self.level_str = "UnKnown"
-        return 4
 
-    def generate_corners3d(self):
-        l, h, w = self.l, self.h, self.w
-        x_corners = [l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2]
-        y_corners = [0, 0, 0, 0, -h, -h, -h, -h]
-        z_corners = [w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2]
-        R = np.array(
-            [
-                [np.cos(self.ry), 0, np.sin(self.ry)],
-                [0, 1, 0],
-                [-np.sin(self.ry), 0, np.cos(self.ry)],
-            ]
-        )
-        corners3d = np.vstack([x_corners, y_corners, z_corners])
-        return np.dot(R, corners3d).T + self.pos
+class LabelTable:
+    """All objects of one KITTI label file as parallel arrays.
 
-    def to_kitti_format(self):
-        return (
-            "%s %.2f %d %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f"
-            % (
-                self.cls_type, self.trucation, int(self.occlusion), self.alpha,
-                self.box2d[0], self.box2d[1], self.box2d[2], self.box2d[3],
-                self.h, self.w, self.l, self.pos[0], self.pos[1], self.pos[2],
-                self.ry,
+    Fields (N = number of label lines):
+      cls        [N] object ndarray of class-name strings
+      truncation [N] float32   (KITTI column 2; reference misspells it)
+      occlusion  [N] float32
+      alpha      [N] float32
+      box2d      [N, 4] float32 (x1, y1, x2, y2)
+      hwl        [N, 3] float32 (h, w, l)
+      pos        [N, 3] float32 (camera-frame bottom-center)
+      ry         [N] float32
+      score      [N] float32 (-1 when the file has no score column)
+      level      [N] int32 difficulty (0 DontCare / 1 Easy / 2 Moderate /
+                 3 Hard / 4 UnKnown, reference kitti_utils.py:33-51)
+    """
+
+    __slots__ = ("cls", "truncation", "occlusion", "alpha", "box2d", "hwl",
+                 "pos", "ry", "score", "level")
+
+    def __init__(self, cls, vals, score):
+        self.cls = cls
+        self.truncation = vals[:, 0]
+        self.occlusion = vals[:, 1]
+        self.alpha = vals[:, 2]
+        self.box2d = vals[:, 3:7]
+        self.hwl = vals[:, 7:10]
+        self.pos = vals[:, 10:13]
+        self.ry = vals[:, 13]
+        self.score = score
+        self.level = self._levels()
+
+    @classmethod
+    def from_file(cls, label_file):
+        with open(label_file) as f:
+            rows = [line.strip().split(" ") for line in f.readlines()]
+        rows = [r for r in rows if len(r) >= 15]
+        names = np.array([r[0] for r in rows], dtype=object)
+        if rows:
+            vals = np.array([r[1:15] for r in rows], dtype=np.float32)
+            score = np.array(
+                [float(r[15]) if len(r) >= 16 else -1.0 for r in rows],
+                dtype=np.float32,
             )
-        )
+        else:
+            vals = np.zeros((0, 14), np.float32)
+            score = np.zeros((0,), np.float32)
+        return cls(names, vals, score)
+
+    def __len__(self):
+        return len(self.cls)
+
+    def head(self, n):
+        """View of the first n objects (arrays are slices, not copies)."""
+        t = object.__new__(LabelTable)
+        t.cls = self.cls[:n]
+        t.truncation = self.truncation[:n]
+        t.occlusion = self.occlusion[:n]
+        t.alpha = self.alpha[:n]
+        t.box2d = self.box2d[:n]
+        t.hwl = self.hwl[:n]
+        t.pos = self.pos[:n]
+        t.ry = self.ry[:n]
+        t.score = self.score[:n]
+        t.level = self.level[:n]
+        return t
+
+    def _levels(self):
+        height = self.box2d[:, 3] - self.box2d[:, 1] + 1
+        easy = (height >= 40) & (self.truncation <= 0.15) & (self.occlusion <= 0)
+        moderate = (height >= 25) & (self.truncation <= 0.3) & (self.occlusion <= 1)
+        hard = (height >= 25) & (self.truncation <= 0.5) & (self.occlusion <= 2)
+        return np.select(
+            [self.truncation == -1, easy, moderate, hard],
+            [0, 1, 2, 3], default=4,
+        ).astype(np.int32)
+
+    @property
+    def level_str(self):
+        return LEVEL_NAMES[self.level]
+
+    def flip_2d(self, img_w, flip_pos=False):
+        """In-place horizontal-flip of the 2-D annotations, all objects at
+        once (reference does this per object in __getitem__): mirror box2d,
+        alpha/ry -> pi - angle (single wrap), optionally mirror pos.x (only
+        when the calibration itself is refit, aug_calib)."""
+        x1 = self.box2d[:, 0].copy()
+        self.box2d[:, 0] = img_w - self.box2d[:, 2]
+        self.box2d[:, 2] = img_w - x1
+        self.alpha = _wrap_pi(np.pi - self.alpha).astype(np.float32)
+        self.ry = _wrap_pi(np.pi - self.ry).astype(np.float32)
+        if flip_pos:
+            self.pos[:, 0] *= -1
+
+    def corners3d(self):
+        """[N, 8, 3] camera-frame box corners (Object3d.generate_corners3d
+        vectorized: x/z in the yaw plane, y up from the bottom face)."""
+        h, w, l = self.hwl[:, 0], self.hwl[:, 1], self.hwl[:, 2]
+        zeros = np.zeros_like(l)
+        x_c = np.stack([l / 2, l / 2, -l / 2, -l / 2] * 2, 1)
+        y_c = np.stack([zeros] * 4 + [-h] * 4, 1)
+        z_c = np.stack([w / 2, -w / 2, -w / 2, w / 2] * 2, 1)
+        c, s = np.cos(self.ry), np.sin(self.ry)
+        xr = c[:, None] * x_c + s[:, None] * z_c
+        zr = -s[:, None] * x_c + c[:, None] * z_c
+        return np.stack([xr, y_c, zr], -1) + self.pos[:, None, :]
+
+    def to_kitti_lines(self):
+        """KITTI label-format lines (Object3d.to_kitti_format per row)."""
+        lines = []
+        for i in range(len(self)):
+            lines.append(
+                "%s %.2f %d %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f %.2f"
+                % (
+                    self.cls[i], self.truncation[i], int(self.occlusion[i]),
+                    self.alpha[i], self.box2d[i, 0], self.box2d[i, 1],
+                    self.box2d[i, 2], self.box2d[i, 3], self.hwl[i, 0],
+                    self.hwl[i, 1], self.hwl[i, 2], self.pos[i, 0],
+                    self.pos[i, 1], self.pos[i, 2], self.ry[i],
+                )
+            )
+        return lines
+
+
+def read_label(label_file) -> LabelTable:
+    return LabelTable.from_file(label_file)
 
 
 def get_calib_from_file(calib_file):
@@ -144,20 +211,12 @@ class Calibration:
         )
 
     def alpha2ry(self, alpha, u):
-        ry = alpha + np.arctan2(u - self.cu, self.fu)
-        if ry > np.pi:
-            ry -= 2 * np.pi
-        if ry < -np.pi:
-            ry += 2 * np.pi
-        return ry
+        """Observation angle -> yaw; scalar or [N] arrays."""
+        return _wrap_pi(alpha + np.arctan2(u - self.cu, self.fu))
 
     def ry2alpha(self, ry, u):
-        alpha = ry - np.arctan2(u - self.cu, self.fu)
-        if alpha > np.pi:
-            alpha -= 2 * np.pi
-        if alpha < -np.pi:
-            alpha += 2 * np.pi
-        return alpha
+        """Yaw -> observation angle; scalar or [N] arrays."""
+        return _wrap_pi(ry - np.arctan2(u - self.cu, self.fu))
 
     def flip(self, img_size):
         """Refit P2 for a horizontally flipped image via least squares over a
@@ -260,5 +319,8 @@ def get_affine_transform(center, scale, rot, output_size,
 
 
 def affine_transform(pt, t):
-    new_pt = np.array([pt[0], pt[1], 1.0], dtype=np.float32)
-    return np.dot(t, new_pt)[:2]
+    """Apply a 2x3 affine to points: [2] or [N, 2] -> same shape."""
+    pt = np.asarray(pt, np.float64)
+    if pt.ndim == 1:
+        return (t[:, :2] @ pt + t[:, 2]).astype(np.float32)
+    return (pt @ t[:, :2].T + t[:, 2]).astype(np.float32)

@@ -1,7 +1,7 @@
 """Tests for the auxiliary API surface: standalone losses (lib/losses/),
 gaussian heatmap helpers (lib/datasets/utils.py), centernet decode helpers
-(lib/helpers/decode_helper.py:116-172), warmup/BN schedules, SSD augmentation
-chain (pd.py), and the DETR-style logging utilities (utils/misc.py).
+(lib/helpers/decode_helper.py:116-172), warmup/BN schedules, and the
+DETR-style logging utilities (utils/misc.py).
 
 Goldens are independent torch/numpy restatements — nothing is imported from
 the reference."""
@@ -275,110 +275,3 @@ def test_lr_schedule_cosine_decay():
     # step config unaffected by the new kwarg
     step = {"warmup": False, "decay_list": [10], "decay_rate": 0.1}
     assert lr_at_epoch(step, 2e-4, 10, max_epoch=100) == pytest.approx(2e-5)
-
-
-# ------------------------------ SSD chain --------------------------------
-
-
-def test_ssd_box_transforms(rng):
-    from monodetr_tpu.data import augment as A
-
-    np.random.seed(3)
-    img = (rng.rand(40, 60, 3) * 255).astype(np.float32)
-    boxes = np.array([[0.1, 0.2, 0.5, 0.6], [0.4, 0.1, 0.9, 0.9]], np.float32)
-    labels = np.array([1, 2])
-
-    im2, b2, _ = A.ToAbsoluteCoords()(img, boxes.copy(), labels)
-    np.testing.assert_allclose(b2[0], [6.0, 8.0, 30.0, 24.0])
-    _, b3, _ = A.ToPercentCoords()(im2, b2, labels)
-    np.testing.assert_allclose(b3, boxes, rtol=1e-6)
-
-    # jaccard: identical box -> 1, disjoint -> 0
-    bx = np.array([[0., 0., 10., 10.], [20., 20., 30., 30.]])
-    ious = A.jaccard_numpy(bx, np.array([0., 0., 10., 10.]))
-    np.testing.assert_allclose(ious, [1.0, 0.0])
-
-    # mirror flips x coords
-    im4, b4, _ = A.RandomMirror()(im2, b2.copy(), labels)
-    if not np.allclose(im4, im2):  # it fired
-        np.testing.assert_allclose(b4[:, 0], im2.shape[1] - b2[:, 2])
-
-    # expand keeps box extents
-    im5, b5, _ = A.Expand((104, 117, 123))(im2, b2.copy(), labels)
-    np.testing.assert_allclose(b5[:, 2] - b5[:, 0], b2[:, 2] - b2[:, 0])
-    assert im5.shape[0] >= im2.shape[0]
-
-
-def test_random_sample_crop_keeps_centers(rng):
-    from monodetr_tpu.data import augment as A
-
-    np.random.seed(11)
-    img = (rng.rand(50, 80, 3) * 255).astype(np.float32)
-    boxes = np.array([[10., 10., 40., 40.], [30., 20., 70., 45.]], np.float32)
-    labels = np.array([0, 1])
-    for _ in range(10):
-        im, b, l = A.RandomSampleCrop()(img, boxes.copy(), labels)
-        assert len(b) == len(l) >= 1
-        centers = (b[:, :2] + b[:, 2:]) / 2
-        assert (centers[:, 0] >= 0).all() and (centers[:, 0] <= im.shape[1]).all()
-        assert (b[:, :2] >= -1e-6).all()
-
-
-def test_ssd_augmentation_composes(rng):
-    from monodetr_tpu.data import augment as A
-
-    np.random.seed(5)
-    img = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
-    boxes = np.array([[0.2, 0.2, 0.6, 0.7]], np.float32)
-    labels = np.array([1])
-    out, b, l = A.SSDAugmentation(size=32)(img, boxes, labels)
-    assert out.shape == (32, 32, 3)
-    assert out.dtype == np.float32
-    assert b.shape[1] == 4 and len(b) == len(l)
-
-
-# ------------------------- logging utilities -----------------------------
-
-
-def test_smoothed_value_stats():
-    v = SmoothedValue(window_size=3)
-    for x in [1.0, 2.0, 3.0, 4.0]:
-        v.update(x)
-    assert v.median == 3.0
-    assert v.avg == 3.0
-    assert v.global_avg == 2.5
-    assert v.max == 4.0
-    assert v.value == 4.0
-    assert "3.0" in str(v)
-
-
-def test_metric_logger_and_accuracy():
-    ml = MetricLogger()
-    ml.update(loss=1.0, ap=0.5)
-    ml.update(loss=3.0, ap=0.7)
-    assert ml.loss.global_avg == pytest.approx(2.0)
-    assert "loss" in str(ml)
-    msgs = []
-    for _ in ml.log_every(range(4), print_freq=2, header="ep0",
-                          log_fn=msgs.append):
-        pass
-    assert len(msgs) >= 2 and msgs[0].startswith("ep0")
-
-    scores = np.array([[0.9, 0.05, 0.05], [0.1, 0.2, 0.7], [0.3, 0.4, 0.3]])
-    target = np.array([0, 2, 0])
-    top1, top2 = accuracy(scores, target, topk=(1, 2))
-    assert top1 == pytest.approx(100 * 2 / 3)
-    assert top2 == pytest.approx(100.0)
-    assert accuracy(np.zeros((0, 3)), np.zeros((0,)), (1,)) == [0.0]
-
-
-def test_nested_array_from_list(rng):
-    a = rng.rand(4, 6, 3).astype(np.float32)
-    b = rng.rand(5, 4, 3).astype(np.float32)
-    nt = nested_array_from_list([a, b])
-    assert isinstance(nt, NestedTensor)
-    arr, mask = nt.decompose()
-    assert arr.shape == (2, 5, 6, 3)
-    np.testing.assert_allclose(arr[0, :4, :6], a)
-    assert not mask[0, :4, :6].any() and mask[0, 4:].all()
-    assert not mask[1, :5, :4].any() and mask[1, :, 4:].all()

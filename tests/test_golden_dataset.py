@@ -142,6 +142,37 @@ def test_train_getitem_matches_reference_with_flip(kitti_root, monkeypatch, seed
         assert flipped > 0  # the branch actually ran
 
 
+def test_lrtb_filtered_object_keeps_label_like_reference(tmp_path, monkeypatch):
+    """An object passing every filter EXCEPT lrtb>=0 (3-D center projects
+    outside its clipped 2-D box) keeps labels/size_2d but nothing else —
+    the reference writes those before its lrtb `continue`
+    (kitti_dataset.py:257-261 vs :274)."""
+    _force_pil_path(monkeypatch)
+    root = str(tmp_path / "kitti_edge")
+    make_synthetic_kitti(root, n_train=1, n_val=1, seed=3, max_cars=2)
+    import glob
+    import os
+
+    val_id = open(os.path.join(root, "ImageSets", "val.txt")).read().split()[0]
+    label_path = os.path.join(root, "training", "label_2", f"{int(val_id):06d}.txt")
+    # z=10, x chosen so the 3-D center projects to u ~= 700 (in image), but
+    # the hand-clipped 2-D box ends at x2=660 -> r < 0
+    x = (700.0 - 609.56) * 10.0 / 721.54
+    with open(label_path, "a") as f:
+        f.write(f"Car 0.20 0 0.50 600.00 150.00 660.00 200.00 "
+                f"1.50 1.60 4.00 {x:.2f} 1.65 10.00 0.50\n")
+
+    ours = KITTIDataset("val", base_cfg(root))
+    refs = KITTI_Dataset("val", base_cfg(root))
+    _, _, tgt_o, _ = ours[0]
+    _, _, tgt_r, _ = refs[0]
+    assert_targets_equal(tgt_o, tgt_r, ctx="lrtb edge")
+    # the edge case actually triggered: its slot has a size_2d but no box
+    slot = np.where((tgt_r["size_2d"] != 0).any(1)
+                    & ~(tgt_r["boxes"] != 0).any(1))[0]
+    assert slot.size >= 1
+
+
 def test_decode_matches_reference(kitti_root):
     """extract_dets_from_outputs + decode_detections vs decode_helper.py on
     random outputs and the fixture's real calibrations."""

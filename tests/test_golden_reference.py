@@ -230,6 +230,7 @@ def make_aux(seed):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_all_losses_match_reference(seed):
     """All 8 loss terms + 2 aux layers vs the reference SetCriterion."""
     out_np, tgt_np = make_case(seed)

@@ -24,16 +24,13 @@
 
 extern "C" {
 
-void warp_affine_normalize(
+// General (rotated) path: per-pixel bilinear with bounds checks.
+static void warp_affine_normalize_general(
     const uint8_t* src, int src_h, int src_w,
-    const double* inv,   // 2x3 row-major dst->src affine
-    float* dst, int dst_h, int dst_w,
-    const float* mean, const float* std_) {
+    const double* inv, float* dst, int dst_h, int dst_w,
+    const float* scale, const float* bias) {
   const double a = inv[0], b = inv[1], c = inv[2];
   const double d = inv[3], e = inv[4], f = inv[5];
-  const float inv_std0 = 1.0f / std_[0];
-  const float inv_std1 = 1.0f / std_[1];
-  const float inv_std2 = 1.0f / std_[2];
 
   for (int y = 0; y < dst_h; ++y) {
     const double yc = y + 0.5;
@@ -64,12 +61,109 @@ void warp_affine_normalize(
           acc[2] += w * p[2];
         }
       }
-      const float s = 1.0f / 255.0f;
-      row[x * 3 + 0] = (acc[0] * s - mean[0]) * inv_std0;
-      row[x * 3 + 1] = (acc[1] * s - mean[1]) * inv_std1;
-      row[x * 3 + 2] = (acc[2] * s - mean[2]) * inv_std2;
+      row[x * 3 + 0] = acc[0] * scale[0] + bias[0];
+      row[x * 3 + 1] = acc[1] * scale[1] + bias[1];
+      row[x * 3 + 2] = acc[2] * scale[2] + bias[2];
     }
   }
+}
+
+void warp_affine_normalize(
+    const uint8_t* src, int src_h, int src_w,
+    const double* inv,   // 2x3 row-major dst->src affine
+    float* dst, int dst_h, int dst_w,
+    const float* mean, const float* std_) {
+  // fold /255 + (v - mean) / std into one fused multiply-add per channel
+  float scale[3], bias[3];
+  for (int ch = 0; ch < 3; ++ch) {
+    scale[ch] = 1.0f / (255.0f * std_[ch]);
+    bias[ch] = -mean[ch] / std_[ch];
+  }
+
+  const double a = inv[0], b = inv[1], c = inv[2];
+  const double d = inv[3], e = inv[4], f = inv[5];
+  if (b != 0.0 || d != 0.0) {  // rotation: rare (the pipeline warps rot=0)
+    warp_affine_normalize_general(src, src_h, src_w, inv, dst, dst_h, dst_w,
+                                  scale, bias);
+    return;
+  }
+
+  // Axis-aligned fast path (sx depends only on x, sy only on y), two-pass
+  // separable bilinear: (1) blend the two source rows for this dst row into
+  // a contiguous float buffer — a long sequential FMA the compiler
+  // vectorizes; (2) horizontal lerp with per-column precomputed x0/wx.
+  // PIL zero-fill outside the source is reproduced by clamping the
+  // contributing taps' weights to zero.
+  int* x0s = new int[dst_w];
+  float* wxs = new float[dst_w];
+  int x_lo = dst_w, x_hi = -1;  // span where both x-taps are in range
+  for (int x = 0; x < dst_w; ++x) {
+    const double sx = a * (x + 0.5) + c - 0.5;
+    int x0 = (int)std::floor(sx);
+    x0s[x] = x0;
+    wxs[x] = (float)(sx - x0);
+    if (x0 >= 0 && x0 + 1 < src_w) {
+      if (x < x_lo) x_lo = x;
+      if (x > x_hi) x_hi = x;
+    }
+  }
+
+  const int rw = src_w * 3;
+  float* rowbuf = new float[rw];
+
+  for (int y = 0; y < dst_h; ++y) {
+    const double sy = e * (y + 0.5) + f - 0.5;
+    const int y0 = (int)std::floor(sy);
+    const float wy = (float)(sy - y0);
+    float* out = dst + (size_t)y * dst_w * 3;
+
+    const bool r0 = (y0 >= 0 && y0 < src_h);
+    const bool r1 = (y0 + 1 >= 0 && y0 + 1 < src_h);
+    if (!r0 && !r1) {
+      for (int ch = 0, x = 0; x < dst_w; ++x)
+        for (ch = 0; ch < 3; ++ch) out[x * 3 + ch] = bias[ch];
+      continue;
+    }
+
+    const uint8_t* row0 = src + (size_t)(r0 ? y0 : 0) * rw;
+    const uint8_t* row1 = src + (size_t)(r1 ? y0 + 1 : 0) * rw;
+    const float w0 = r0 ? 1.f - wy : 0.f;
+    const float w1 = r1 ? wy : 0.f;
+    for (int i = 0; i < rw; ++i)
+      rowbuf[i] = w0 * row0[i] + w1 * row1[i];
+
+    // borders (an x-tap out of range): per-tap zero-weight masks.
+    // rowbuf values are in [0, 255] units, so out = v*scale + bias
+    // (scale already folds the /255).
+    auto border = [&](int xa, int xb) {
+      for (int x = xa; x < xb; ++x) {
+        const int x0 = x0s[x];
+        const float wx = wxs[x];
+        const float wa = (x0 >= 0 && x0 < src_w) ? 1.f - wx : 0.f;
+        const float wb = (x0 + 1 >= 0 && x0 + 1 < src_w) ? wx : 0.f;
+        const float* pa = rowbuf + (x0 >= 0 && x0 < src_w ? x0 * 3 : 0);
+        const float* pb = rowbuf + (x0 + 1 >= 0 && x0 + 1 < src_w ? (x0 + 1) * 3 : 0);
+        for (int ch = 0; ch < 3; ++ch)
+          out[x * 3 + ch] = (wa * pa[ch] + wb * pb[ch]) * scale[ch] + bias[ch];
+      }
+    };
+    border(0, x_lo);
+    border(x_hi + 1, dst_w);
+
+    // interior: branch-free lerp
+    for (int x = x_lo; x <= x_hi; ++x) {
+      const float* p = rowbuf + x0s[x] * 3;
+      const float wx = wxs[x];
+      const float cw = 1.f - wx;
+      out[x * 3 + 0] = (cw * p[0] + wx * p[3]) * scale[0] + bias[0];
+      out[x * 3 + 1] = (cw * p[1] + wx * p[4]) * scale[1] + bias[1];
+      out[x * 3 + 2] = (cw * p[2] + wx * p[5]) * scale[2] + bias[2];
+    }
+  }
+
+  delete[] rowbuf;
+  delete[] wxs;
+  delete[] x0s;
 }
 
 // ---------------- rotated IoU ----------------

@@ -142,6 +142,7 @@ def tree_paths(tree, prefix=()):
     return {prefix: np.shape(tree)}
 
 
+@pytest.mark.slow
 def test_convert_matches_model_tree():
     import jax
     import jax.numpy as jnp

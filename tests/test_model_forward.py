@@ -60,6 +60,7 @@ def test_train_forward_uses_grouped_queries(model_and_params):
     assert out["pred_boxes"].shape == (B, 550, 6)
 
 
+@pytest.mark.slow
 def test_gradients_flow_and_stopgrad(model_and_params):
     model, params, images, calibs, img_sizes, _, _ = model_and_params
 
@@ -82,6 +83,7 @@ def test_gradients_flow_and_stopgrad(model_and_params):
     assert float(jnp.abs(g_q).sum()) > 0
 
 
+@pytest.mark.slow
 def test_eval_queries_are_first_group(model_and_params):
     """Eval uses query_embed[:50] — first group of the 550 training queries
     (reference monodetr.py:195-199)."""

@@ -27,6 +27,7 @@ def build(**kw):
 
 
 @pytest.mark.parametrize("variant", ["use_dab", "two_stage", "two_stage_dino"])
+@pytest.mark.slow
 def test_variant_forward(variant):
     model, params, images, calibs, sizes = build(**{variant: True})
     out = jax.jit(
@@ -44,6 +45,7 @@ def test_variant_forward(variant):
 
 
 @pytest.mark.parametrize("variant", ["use_dab", "two_stage_dino"])
+@pytest.mark.slow
 def test_variant_train_mode_grouped(variant):
     # dino draws its training queries from the encoder tokens (topk over
     # S = 170 at this tiny resolution), so use fewer queries per group
@@ -58,6 +60,7 @@ def test_variant_train_mode_grouped(variant):
     assert out["pred_logits"].shape == (B, 11 * nq, 3)
 
 
+@pytest.mark.slow
 def test_two_stage_has_extra_head_set():
     model, params, *_ = build(two_stage=True)
     p = params["params"]
@@ -66,6 +69,7 @@ def test_two_stage_has_extra_head_set():
     assert "enc_output" in p["transformer"]
 
 
+@pytest.mark.slow
 def test_dab_gradients_flow():
     model, params, images, calibs, sizes = build(use_dab=True)
 

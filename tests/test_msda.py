@@ -92,6 +92,7 @@ def test_dense_forward_matches_torch(rng, oob):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dense_gradients_match_gather(rng):
     """Dense-path grads vs the exact gather path's grads (itself torch-checked)."""
     value, loc, w = make_inputs(rng, B=2, Q=5, H=2, D=8, P=2, oob=True)
@@ -111,6 +112,7 @@ def test_dense_gradients_match_gather(rng):
 
 
 @pytest.mark.parametrize("channels", [8, 16, 32])
+@pytest.mark.slow
 def test_gradients_match_torch(rng, channels):
     """Grads of (value, loc, weights) vs torch autograd through grid_sample."""
     value, loc, w = make_inputs(rng, B=1, Q=5, H=2, D=channels, P=2)

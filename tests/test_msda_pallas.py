@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from monodetr_tpu.ops.msda_pallas import ms_deform_attn_pallas
 from monodetr_tpu.ops.msda_windowed import ms_deform_attn_windowed
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / multi-device: minutes on CPU
+
 SHAPES = ((8, 16), (4, 8), (2, 4), (1, 2))
 H, P, G = 8, 4, 8  # lane packing: lv*32 + h*4 + p == 128 lanes
 

@@ -64,6 +64,7 @@ def test_windowed_matches_gather(edge_heavy):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_windowed_grads_match_gather():
     rng = np.random.RandomState(2)
     value, loc, attn = make_inputs(rng, B=1, H=2, D=4)

@@ -15,6 +15,8 @@ from monodetr_tpu.parallel.mesh import (
 )
 from monodetr_tpu.train import build_optimizer, make_train_step
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / multi-device: minutes on CPU
+
 
 def make_batch(rng, B, H=64, W=128, T=50):
     return {

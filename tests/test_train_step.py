@@ -50,6 +50,7 @@ def setup(tmp_path_factory):
     return model, crit, params, batch
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(setup):
     model, crit, params, batch = setup
     # the default train step donates its inputs: work on copies so the
@@ -70,6 +71,7 @@ def test_train_step_decreases_loss(setup):
     assert losses_hist[-1] < losses_hist[0] * 0.9, losses_hist
 
 
+@pytest.mark.slow
 def test_frozen_params_do_not_move(setup):
     model, crit, params, batch = setup
     p_in = jax.tree_util.tree_map(jnp.copy, params)

@@ -44,3 +44,29 @@ def load_checkpoint(filename: str, logger=None) -> dict:
     if logger:
         logger.info("==> Done")
     return state
+
+
+def merge_params(base, update, path=""):
+    """Merge a (possibly partial) parameter subtree into `base`.
+
+    Supports backbone-only ImageNet checkpoints
+    (tools/convert_checkpoint.py --torchvision-backbone — the analogue of
+    the reference's torchvision pretrained init, backbone.py:100-102):
+    every leaf present in `update` replaces the same-named, same-shaped
+    leaf of `base`; leaves absent from `update` keep their init values.
+    Returns a new tree; raises on unknown names or shape mismatches.
+    """
+    out = dict(base)
+    for k, v in update.items():
+        if k not in out:
+            raise KeyError(f"checkpoint key not in model tree: {path}{k}")
+        if isinstance(v, dict):
+            out[k] = merge_params(out[k], v, path=f"{path}{k}/")
+        else:
+            have = np.shape(out[k])
+            want = np.shape(v)
+            if have != want:
+                raise ValueError(
+                    f"shape mismatch at {path}{k}: model {have} vs ckpt {want}")
+            out[k] = v
+    return out

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .checkpoint import get_checkpoint_state, load_checkpoint, save_checkpoint
+from .checkpoint import (get_checkpoint_state, load_checkpoint, merge_params,
+                         save_checkpoint)
 from .optimizer import build_optimizer
 from .scheduler import lr_at_epoch
 from .train_step import make_train_step
@@ -64,7 +65,11 @@ class Trainer:
         if cfg.get("pretrain_model"):
             assert os.path.exists(cfg["pretrain_model"])
             state = load_checkpoint(cfg["pretrain_model"], self.logger)
-            self.params = jax.device_put(state["model_state"])
+            # partial checkpoints (e.g. backbone-only ImageNet weights from
+            # tools/convert_checkpoint.py --torchvision-backbone) merge into
+            # the fresh init; full checkpoints replace every leaf
+            self.params = jax.device_put(
+                merge_params(self.params, state["model_state"]))
 
         if cfg.get("resume_model"):
             resume_path = os.path.join(self.output_dir, "checkpoint.pth")

@@ -201,16 +201,51 @@ def convert_state_dict(sd, backbone="resnet50", enc_layers=3, dec_layers=3):
     return {"params": p}
 
 
+def convert_torchvision_backbone(sd, backbone="resnet50"):
+    """Plain torchvision resnet50/101 state dict -> backbone-only partial
+    params {'params': {'backbone': ...}} for Trainer's pretrain merge.
+
+    Mirrors the reference's automatic ImageNet init
+    (backbone.py:100-102 `torchvision.models.resnet50(pretrained=True)`):
+    same key layout minus the 'backbone.0.body.' prefix; BN folds into
+    (scale, bias) exactly like FrozenBatchNorm2d; the fc head is dropped.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items() if not k.startswith("fc.")}
+    bp = {
+        "conv1": _conv(sd, "conv1", bias=False),
+        "bn1": _frozen_bn(sd, "bn1"),
+    }
+    for stage, n_blocks in enumerate(STAGE_BLOCKS[backbone]):
+        for b in range(n_blocks):
+            bp[f"layer{stage + 1}_{b}"] = _bottleneck(
+                sd, f"layer{stage + 1}.{b}", has_downsample=(b == 0)
+            )
+    return {"params": {"backbone": bp}}
+
+
 def main():
+    import argparse
     import pickle
 
     import torch
 
-    src, out_prefix = sys.argv[1], sys.argv[2]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("src")
+    ap.add_argument("out_prefix")
+    ap.add_argument("--torchvision-backbone", choices=["resnet50", "resnet101"],
+                    help="treat src as a plain torchvision resnet state dict "
+                         "and emit a backbone-only partial checkpoint "
+                         "(for trainer.pretrain_model ImageNet init)")
+    args = ap.parse_args()
+    src, out_prefix = args.src, args.out_prefix
     ckpt = torch.load(src, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state", ckpt)
     sd = {k: v.numpy() for k, v in sd.items()}
-    params = convert_state_dict(sd)
+    if args.torchvision_backbone:
+        params = convert_torchvision_backbone(sd, args.torchvision_backbone)
+        ckpt = {}
+    else:
+        params = convert_state_dict(sd)
 
     state = {
         "epoch": ckpt.get("epoch", 0),

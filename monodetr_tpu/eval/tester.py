@@ -47,9 +47,16 @@ class Tester:
     def test(self):
         assert self.cfg["mode"] in ["single", "all"]
 
+        # single-checkpoint path (reference tester_helper.py:30-43): 'all'
+        # without save_all degrades to this branch there too.
         if self.cfg["mode"] == "single" or not self.train_cfg.get("save_all", False):
             if self.cfg.get("checkpoint_path"):
                 checkpoint_path = self.cfg["checkpoint_path"]
+            elif self.train_cfg.get("save_all", False):
+                checkpoint_path = os.path.join(
+                    self.output_dir,
+                    "checkpoint_epoch_{}.pth".format(self.cfg.get("checkpoint", 0)),
+                )
             else:
                 checkpoint_path = os.path.join(self.output_dir, "checkpoint_best.pth")
                 if not os.path.exists(checkpoint_path):
@@ -72,16 +79,18 @@ class Tester:
             self.inference()
             self.evaluate()
         else:
+            # every epoch checkpoint at/after the start epoch, mtime-sorted
+            # (reference tester_helper.py:46-62: collects checkpoint_epoch_N.pth
+            # with N >= cfg['checkpoint'] at walk time)
+            start_epoch = int(self.cfg.get("checkpoint", 0))
             checkpoints_list = []
             for _, _, files in os.walk(self.output_dir):
                 for f in files:
-                    if f.endswith(".pth") and f != "checkpoint.pth":
+                    if (f.startswith("checkpoint_epoch_") and f.endswith(".pth")
+                            and f[17:-4].isdigit() and int(f[17:-4]) >= start_epoch):
                         checkpoints_list.append(os.path.join(self.output_dir, f))
             checkpoints_list.sort(key=os.path.getmtime)
             for checkpoint in checkpoints_list:
-                epoch = checkpoint.split("_")[-1].split(".")[0]
-                if epoch.isdigit() and int(epoch) < int(self.cfg.get("checkpoint", 0)):
-                    continue
                 state = load_checkpoint(checkpoint, self.logger)
                 self.params = jax.device_put(state["model_state"])
                 self.inference()

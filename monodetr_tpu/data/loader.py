@@ -24,7 +24,15 @@ import numpy as np
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  num_workers: int = 4, seed: int = 444, prefetch: int = 2,
-                 drop_last: bool = False):
+                 drop_last: bool = False, process_shard=None):
+        """process_shard: None (single host) or (process_index,
+        process_count) for multi-host DP.  batch_size is then the GLOBAL
+        batch; every process derives the same index order (same
+        seed/epoch) and loads only rows
+        [pi*local : (pi+1)*local] of each global batch, which is exactly
+        the addressable shard `jax.make_array_from_process_local_data`
+        expects for a 1-D data mesh in process order (parallel/mesh.py
+        shard_batch_fn)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -33,6 +41,15 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0
+        if process_shard is not None:
+            pi, pc = process_shard
+            if batch_size % pc != 0:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"process_count {pc}")
+            self.process_shard = (int(pi), int(pc))
+        else:
+            self.process_shard = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -87,6 +104,16 @@ class DataLoader:
             else:
                 batches.append((idxs, self.batch_size))
 
+        if self.process_shard is not None:
+            pi, pc = self.process_shard
+            local = self.batch_size // pc
+            lo = pi * local
+            batches = [
+                (idxs[lo:lo + local],
+                 int(np.clip(n_valid - lo, 0, local)))
+                for idxs, n_valid in batches
+            ]
+
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -117,18 +144,22 @@ class DataLoader:
             pool.shutdown(wait=False)
 
 
-def build_dataloader(cfg: Dict[str, Any], workers: int = 4):
-    """(train_loader, test_loader) — dataloader_helper.build_dataloader."""
+def build_dataloader(cfg: Dict[str, Any], workers: int = 4,
+                     process_shard=None):
+    """(train_loader, test_loader) — dataloader_helper.build_dataloader.
+
+    process_shard: forwarded to DataLoader for multi-host DP (each host
+    loads its slice of every global batch)."""
     from .kitti_dataset import KITTIDataset
 
     train_set = KITTIDataset(split=cfg["train_split"], cfg=cfg)
     test_set = KITTIDataset(split=cfg["test_split"], cfg=cfg)
     train_loader = DataLoader(
         train_set, batch_size=cfg["batch_size"], shuffle=True,
-        num_workers=workers,
+        num_workers=workers, process_shard=process_shard,
     )
     test_loader = DataLoader(
         test_set, batch_size=cfg["batch_size"], shuffle=False,
-        num_workers=workers,
+        num_workers=workers, process_shard=process_shard,
     )
     return train_loader, test_loader

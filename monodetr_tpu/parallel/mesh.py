@@ -29,11 +29,26 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
 
 def shard_batch_fn(mesh: Mesh, axis_name: str = "data") -> Callable:
     """Returns a function placing a host batch dict onto the mesh, sharded
-    along the batch dimension."""
+    along the batch dimension.
+
+    Single-process: device_put with a batch-sharded NamedSharding.
+    Multi-host (jax.process_count() > 1): each process's loader yields only
+    its host-local slice of the global batch (see DataLoader
+    process_shard); `jax.make_array_from_process_local_data` assembles the
+    global jax.Array from the per-host shards without any cross-host copy.
+    """
     sharding = NamedSharding(mesh, P(axis_name))
 
-    def place(batch: Dict[str, Any]) -> Dict[str, Any]:
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    if jax.process_count() > 1:
+        def place(batch: Dict[str, Any]) -> Dict[str, Any]:
+            return {
+                k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v))
+                for k, v in batch.items()
+            }
+    else:
+        def place(batch: Dict[str, Any]) -> Dict[str, Any]:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     return place
 

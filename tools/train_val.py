@@ -56,8 +56,12 @@ def main():
             mesh = make_mesh()
             logger.info("mesh: %s" % (mesh,))
 
-    # build dataloaders
-    train_loader, test_loader = build_dataloader(cfg["dataset"])
+    # build dataloaders; multi-host DP loads per-host slices of each
+    # global batch (parallel/mesh.py shard_batch_fn reassembles them)
+    shard = None
+    if jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
+    train_loader, test_loader = build_dataloader(cfg["dataset"], process_shard=shard)
 
     # build model + criterion
     model = build_monodetr(cfg["model"])

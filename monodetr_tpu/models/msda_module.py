@@ -12,6 +12,7 @@ from typing import Sequence, Tuple
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.ad_checkpoint import checkpoint_name
@@ -49,6 +50,9 @@ class MSDeformAttn(nn.Module):
       - "dense": exact semantics via dense separable-hat MXU matmuls
         (ops/msda.ms_deform_attn_dense) — the fast path for decoder-sized
         query counts (cost scales with Q * S; no gather, no scatter);
+      - "dense_fused": same exact semantics, weight tiles built in VMEM by
+        a Pallas kernel (ops/msda_dense_pallas.py) — no HBM W traffic;
+        XLA dense fallback on CPU;
       - "windowed": pure-XLA shift formulation of the same windowed math
         (oracle/testing; slow at scale).
     """
@@ -141,6 +145,24 @@ class MSDeformAttn(nn.Module):
             out = ms_deform_attn_dense(
                 value, tuple(spatial_shapes), loc, attn.astype(self.dtype)
             ).astype(self.dtype)
+        elif self.impl == "dense_fused":
+            # same exact semantics as "dense", but the [B,H,Q,S_l] weight
+            # matrices are built tile-wise in VMEM (never in HBM); falls
+            # back to the XLA dense path off-TPU (interpret-mode pallas is
+            # too slow for full-model CPU tests)
+            if jax.devices()[0].platform == "cpu":
+                from ..ops.msda import ms_deform_attn_dense
+
+                out = ms_deform_attn_dense(
+                    value, tuple(spatial_shapes), loc, attn.astype(self.dtype)
+                ).astype(self.dtype)
+            else:
+                from ..ops.msda_dense_pallas import ms_deform_attn_dense_fused
+
+                out = ms_deform_attn_dense_fused(
+                    value, tuple(spatial_shapes), loc,
+                    attn.astype(jnp.float32)
+                ).astype(self.dtype)
         elif self.impl == "windowed":
             assert reference_points.shape[-1] == 2 and Q == S
             from ..ops.msda_windowed import ms_deform_attn_windowed

@@ -48,10 +48,117 @@ def _stub_torchvision():
     models_m = types.ModuleType("torchvision.models")
     utils_m = types.ModuleType("torchvision.models._utils")
 
-    class IntermediateLayerGetter:  # only needed at build_backbone() time
-        def __init__(self, *a, **k):
-            raise NotImplementedError("stub")
+    # Functional stand-ins (torchvision isn't installed): a faithful
+    # torchvision-layout ResNet (same module names/shapes as
+    # torchvision.models.resnet50/101, so reference state dicts line up
+    # key-for-key) and a working IntermediateLayerGetter.  Both are needed
+    # to RUN the reference model as an executable golden, not just import
+    # it (backbone.py:82,100-102).
+    from collections import OrderedDict
 
+    import torch.nn as tnn
+
+    class IntermediateLayerGetter(tnn.ModuleDict):
+        def __init__(self, model, return_layers):
+            orig = dict(return_layers)
+            remaining = set(return_layers)
+            layers = OrderedDict()
+            for name, module in model.named_children():
+                layers[name] = module
+                remaining.discard(name)
+                if not remaining:
+                    break
+            super().__init__(layers)
+            self.return_layers = orig
+
+        def forward(self, x):
+            out = OrderedDict()
+            for name, module in self.items():
+                x = module(x)
+                if name in self.return_layers:
+                    out[self.return_layers[name]] = x
+            return out
+
+    class _Bottleneck(tnn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     dilation=1, norm_layer=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = norm_layer(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride,
+                                    padding=dilation, dilation=dilation,
+                                    bias=False)
+            self.bn2 = norm_layer(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = norm_layer(planes * 4)
+            self.relu = tnn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return self.relu(out + idn)
+
+    class _ResNet(tnn.Module):
+        def __init__(self, layers, norm_layer,
+                     replace_stride_with_dilation=(False, False, False)):
+            super().__init__()
+            self.inplanes, self.dilation = 64, 1
+            self._norm_layer = norm_layer
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = norm_layer(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = self._make_layer(64, layers[0])
+            self.layer2 = self._make_layer(
+                128, layers[1], 2, replace_stride_with_dilation[0])
+            self.layer3 = self._make_layer(
+                256, layers[2], 2, replace_stride_with_dilation[1])
+            self.layer4 = self._make_layer(
+                512, layers[3], 2, replace_stride_with_dilation[2])
+            self.fc = tnn.Linear(512 * 4, 1000)
+
+        def _make_layer(self, planes, blocks, stride=1, dilate=False):
+            nl = self._norm_layer
+            prev_dilation = self.dilation
+            if dilate:
+                self.dilation *= stride
+                stride = 1
+            downsample = None
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = tnn.Sequential(
+                    tnn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                               bias=False),
+                    nl(planes * 4),
+                )
+            mods = [_Bottleneck(self.inplanes, planes, stride, downsample,
+                                prev_dilation, nl)]
+            self.inplanes = planes * 4
+            mods += [_Bottleneck(self.inplanes, planes,
+                                 dilation=self.dilation, norm_layer=nl)
+                     for _ in range(1, blocks)]
+            return tnn.Sequential(*mods)
+
+        def forward(self, x):  # classification head; unused by the getter
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            return self.fc(torch.flatten(
+                tnn.functional.adaptive_avg_pool2d(x, 1), 1))
+
+    def _resnet(layers):
+        def ctor(replace_stride_with_dilation=(False, False, False),
+                 pretrained=False, norm_layer=tnn.BatchNorm2d, **kw):
+            # pretrained ignored: goldens copy explicit state dicts anyway
+            return _ResNet(layers, norm_layer, replace_stride_with_dilation)
+
+        return ctor
+
+    models_m.resnet50 = _resnet([3, 4, 6, 3])
+    models_m.resnet101 = _resnet([3, 4, 23, 3])
     utils_m.IntermediateLayerGetter = IntermediateLayerGetter
     models_m._utils = utils_m
     tv.ops = ops
@@ -168,6 +275,25 @@ def _shim_old_torch_names():
         ov.has_torch_function = has_torch_function
         ov.handle_torch_function = handle_torch_function
         sys.modules["torch._overrides"] = ov
+
+
+def patch_msda_to_pytorch_core():
+    """Route the reference's MSDeformAttnFunction (CUDA extension) through
+    its own pure-torch fallback `ms_deform_attn_core_pytorch`
+    (ops/functions/ms_deform_attn_func.py:41-61) so the full model can run
+    on CPU.  Call after install()."""
+    import lib.models.monodetr.ops.functions.ms_deform_attn_func as f
+    import lib.models.monodetr.ops.modules.ms_deform_attn as m
+
+    class _Fn:
+        @staticmethod
+        def apply(value, spatial_shapes, level_start_index,
+                  sampling_locations, attention_weights, im2col_step):
+            return f.ms_deform_attn_core_pytorch(
+                value, spatial_shapes, sampling_locations, attention_weights)
+
+    m.MSDeformAttnFunction = _Fn
+    f.MSDeformAttnFunction = _Fn
 
 
 def install():

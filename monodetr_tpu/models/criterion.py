@@ -155,12 +155,19 @@ def loss_angles(outputs, targets, matched_q, num_boxes):
 
 def loss_depth_map(outputs, targets, fg_weight=13.0, bg_weight=1.0,
                    alpha=0.25, gamma=2.0, depth_min=1e-3, depth_max=60.0,
-                   num_bins=80):
+                   num_bins=80, raster_wh=None):
     """DDN depth-map loss (ddn_loss/ddn_loss.py + balancer.py + focalloss.py).
 
     Targets: per-pixel depth of the *nearest* valid box covering the pixel
     (reference paints boxes far->near so near overwrites), binned with LID;
     focal CE, then fg(13x)/bg(1x) balancing normalized by total pixel count.
+
+    ``raster_wh``: the (W, H) the normalized gt boxes are scaled by before
+    rasterization.  The reference hardcodes (80, 24) (monodetr.py:452)
+    — the depth-map shape at its only supported input resolution 1280x384;
+    at any other resolution its boxes land at the wrong scale.  Default
+    None uses the actual depth-map dims: identical at the supported
+    resolution, and still correct at others (e.g. 2x-res configs).
     """
     logits = outputs["pred_depth_map_logits"]  # [B, H, W, D+1] NHWC
     B, Hf, Wf, _ = logits.shape
@@ -168,7 +175,8 @@ def loss_depth_map(outputs, targets, fg_weight=13.0, bg_weight=1.0,
     valid = targets["mask"]  # [B, T]
     depth = targets["depth"][..., 0]  # [B, T]
 
-    scale = jnp.asarray([Wf, Hf, Wf, Hf], jnp.float32)
+    rw, rh = (Wf, Hf) if raster_wh is None else raster_wh
+    scale = jnp.asarray([rw, rh, rw, rh], jnp.float32)
     xyxy = box_ops.box_cxcywh_to_xyxy(boxes * scale)
     u1 = jnp.floor(xyxy[..., 0])
     v1 = jnp.floor(xyxy[..., 1])
@@ -223,6 +231,10 @@ class SetCriterion:
         self.depth_min = float(cfg.get("depth_min", 1e-3))
         self.depth_max = float(cfg.get("depth_max", 60.0))
         self.num_depth_bins = int(cfg.get("num_depth_bins", 80))
+        # (W, H) box-raster scale for the DDN loss; None = actual map dims.
+        # Set to (80, 24) to reproduce the reference's hardcoded constant
+        # (monodetr.py:452) at non-default input resolutions.
+        self.depth_map_raster_wh = cfg.get("depth_map_raster_wh")
 
         base = {
             "loss_ce": cfg.get("cls_loss_coef", 2),
@@ -290,6 +302,7 @@ class SetCriterion:
                 outputs, targets,
                 depth_min=self.depth_min, depth_max=self.depth_max,
                 num_bins=self.num_depth_bins,
+                raster_wh=self.depth_map_raster_wh,
             )
         )
         return losses

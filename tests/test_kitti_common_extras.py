@@ -19,19 +19,20 @@ from tests.synthetic_kitti import make_synthetic_kitti
 
 @pytest.fixture(scope="module")
 def ref_kc():
+    def imread(path):
+        from PIL import Image
+
+        return np.asarray(Image.open(path))
+
     if "skimage" not in sys.modules:
         sk = types.ModuleType("skimage")
         io_m = types.ModuleType("skimage.io")
-
-        def imread(path):
-            from PIL import Image
-
-            return np.asarray(Image.open(path))
-
-        io_m.imread = imread
         sk.io = io_m
         sys.modules["skimage"] = sk
         sys.modules["skimage.io"] = io_m
+    # ref_import.py installs a RAISING imread stub; always win with a real one
+    sys.modules["skimage.io"].imread = imread
+    sys.modules["skimage"].io.imread = imread
     sys.path.insert(0, "/root/reference/lib/datasets/kitti/kitti_eval_python")
     import kitti_common as ref
 

@@ -106,8 +106,16 @@ def _conv_gn(sd, conv_prefix, gn_prefix):
 STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
 
 
-def convert_state_dict(sd, backbone="resnet50", enc_layers=3, dec_layers=3):
-    """torch state_dict (name -> numpy array) -> flax params['params'] dict."""
+def convert_state_dict(sd, backbone="resnet50", enc_layers=3, dec_layers=3,
+                       two_stage=False, use_dab=False, two_stage_dino=False):
+    """torch state_dict (name -> numpy array) -> flax params['params'] dict.
+
+    Variant flags mirror the reference build switches (monodetr.py:69-76,
+    123-133; depthaware_transformer.py:108-118): two_stage adds the proposal
+    projection + pos_trans and one extra head clone; use_dab swaps
+    query_embed for tgt_embed/refpoint_embed; two_stage_dino adds the
+    encoder-proposal heads and tgt_embed on the transformer.
+    """
     sd = {k: np.asarray(v) for k, v in sd.items()}
     p = {}
 
@@ -152,10 +160,11 @@ def convert_state_dict(sd, backbone="resnet50", enc_layers=3, dec_layers=3):
 
     # ---- transformer ----
     tr = "depthaware_transformer."
-    tp = {
-        "level_embed": np.asarray(sd[tr + "level_embed"]),
-        "reference_points": _lin(sd, tr + "reference_points"),
-    }
+    tp = {"level_embed": np.asarray(sd[tr + "level_embed"])}
+    # the vanilla query path projects query_embed -> initial references;
+    # all variants derive references elsewhere (transformer.py:134)
+    if not (two_stage or use_dab or two_stage_dino):
+        tp["reference_points"] = _lin(sd, tr + "reference_points")
     for i in range(enc_layers):
         e = f"{tr}encoder.layers.{i}."
         tp[f"encoder_layer_{i}"] = {
@@ -187,11 +196,35 @@ def convert_state_dict(sd, backbone="resnet50", enc_layers=3, dec_layers=3):
                 "norm": _norm(sd, d + "norm3"),
             },
         }
+    if use_dab or two_stage_dino:
+        # per-layer query-pos MLPs live on the reference decoder
+        # (depthaware_transformer.py:530-537); query_scale_bbox is dead
+        tp["ref_point_head"] = _mlp(sd, tr + "decoder.ref_point_head", 2)
+        tp["query_scale"] = _mlp(sd, tr + "decoder.query_scale", 2)
+    if two_stage:
+        tp["enc_output"] = _lin(sd, tr + "enc_output")
+        tp["enc_output_norm"] = _norm(sd, tr + "enc_output_norm")
+        tp["pos_trans"] = _lin(sd, tr + "pos_trans")
+        tp["pos_trans_norm"] = _norm(sd, tr + "pos_trans_norm")
+    elif two_stage_dino:
+        tp["enc_output"] = _lin(sd, tr + "enc_output")
+        tp["enc_output_norm"] = _norm(sd, tr + "enc_output_norm")
+        tp["tgt_embed"] = np.asarray(sd[tr + "tgt_embed.weight"])
+        tp["enc_out_class_embed"] = _lin(sd, tr + "enc_out_class_embed")
+        tp["enc_out_bbox_embed"] = _mlp(sd, tr + "enc_out_bbox_embed", 3)
     p["transformer"] = tp
 
     # ---- queries + heads ----
-    p["query_embed"] = np.asarray(sd["query_embed.weight"])
-    for i in range(dec_layers):
+    if not two_stage and not two_stage_dino:
+        if use_dab:
+            p["tgt_embed"] = np.asarray(sd["tgt_embed.weight"])
+            p["refpoint_embed"] = np.asarray(sd["refpoint_embed.weight"])
+        else:
+            p["query_embed"] = np.asarray(sd["query_embed.weight"])
+    # two-stage scores encoder proposals with one extra head clone
+    # (reference num_pred, monodetr.py:123)
+    n_pred = dec_layers + 1 if two_stage else dec_layers
+    for i in range(n_pred):
         p[f"class_embed_{i}"] = _lin(sd, f"class_embed.{i}")
         p[f"bbox_embed_{i}"] = _mlp(sd, f"bbox_embed.{i}", 3)
         p[f"dim_embed_3d_{i}"] = _mlp(sd, f"dim_embed_3d.{i}", 2)
@@ -236,6 +269,12 @@ def main():
                     help="treat src as a plain torchvision resnet state dict "
                          "and emit a backbone-only partial checkpoint "
                          "(for trainer.pretrain_model ImageNet init)")
+    ap.add_argument("--two-stage", action="store_true",
+                    help="checkpoint was trained with two_stage: true")
+    ap.add_argument("--use-dab", action="store_true",
+                    help="checkpoint was trained with use_dab: true")
+    ap.add_argument("--two-stage-dino", action="store_true",
+                    help="checkpoint was trained with two_stage_dino: true")
     args = ap.parse_args()
     src, out_prefix = args.src, args.out_prefix
     ckpt = torch.load(src, map_location="cpu", weights_only=False)
@@ -245,7 +284,10 @@ def main():
         params = convert_torchvision_backbone(sd, args.torchvision_backbone)
         ckpt = {}
     else:
-        params = convert_state_dict(sd)
+        params = convert_state_dict(
+            sd, two_stage=args.two_stage, use_dab=args.use_dab,
+            two_stage_dino=args.two_stage_dino,
+        )
 
     state = {
         "epoch": ckpt.get("epoch", 0),

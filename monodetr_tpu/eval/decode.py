@@ -7,6 +7,10 @@ the reference's 37-column detection layout (decode_helper.py:57-110).
 `decode_detections` (host, numpy): threshold filter, unnormalize, back-project
 (x3d, y3d, depth) through the calibration, heading bin -> alpha -> ry,
 score *= exp(-sigma) (decode_helper.py:8-54).
+
+The reference decode_helper.py also carries legacy centernet helpers
+(_nms/_topk/_gather_feat, :116-172) that its DETR decode path never
+calls; they are deliberately not re-implemented.
 """
 
 from typing import Dict, List
@@ -61,57 +65,6 @@ def extract_dets_from_outputs(outputs: Dict, topk: int = 50) -> jnp.ndarray:
         ],
         axis=2,
     )
-
-
-def heatmap_nms(heatmap: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
-    """Peak-keeping NMS: zero every cell that is not its 3x3 neighbourhood max
-    (decode_helper.py:116-120; legacy centernet path, unused by the DETR
-    decode but part of the helper API).  heatmap: [B, H, W, C] (NHWC here —
-    this framework's layout)."""
-    pooled = jax.lax.reduce_window(
-        heatmap, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, kernel, kernel, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=[(0, 0), ((kernel - 1) // 2,) * 2, ((kernel - 1) // 2,) * 2,
-                 (0, 0)],
-    )
-    return jnp.where(pooled == heatmap, heatmap, 0.0)
-
-
-def gather_feat(feat: jnp.ndarray, ind: jnp.ndarray) -> jnp.ndarray:
-    """feat [B, N, C], ind [B, K] -> [B, K, C] (decode_helper.py:143-159).
-    The reference's optional boolean-mask compaction is inherently ragged;
-    callers here filter with masks downstream instead."""
-    return jnp.take_along_axis(
-        feat, ind[..., None].repeat(feat.shape[2], -1), axis=1)
-
-
-def transpose_and_gather_feat(feat: jnp.ndarray, ind: jnp.ndarray) -> jnp.ndarray:
-    """feat [B, H, W, C] (NHWC), ind [B, K] flat spatial indices -> [B, K, C]
-    (decode_helper.py:162-172; the reference permutes from NCHW first — NHWC
-    needs only the flatten)."""
-    B, H, W, C = feat.shape
-    return gather_feat(feat.reshape(B, H * W, C), ind)
-
-
-def heatmap_topk(heatmap: jnp.ndarray, k: int = 50):
-    """Per-class top-k then global top-k over a [B, H, W, C] heatmap
-    (decode_helper.py:123-140).  Returns (score, flat_inds, cls_ids, xs, ys),
-    each [B, k]."""
-    B, H, W, C = heatmap.shape
-    hm = jnp.transpose(heatmap, (0, 3, 1, 2)).reshape(B, C, H * W)
-    topk_scores, topk_inds = jax.lax.top_k(hm, k)  # [B, C, k]
-    topk_ys = (topk_inds // W).astype(jnp.float32)
-    topk_xs = (topk_inds % W).astype(jnp.float32)
-
-    topk_score, topk_ind = jax.lax.top_k(topk_scores.reshape(B, C * k), k)
-    topk_cls_ids = (topk_ind // k).astype(jnp.int32)
-
-    def flat_gather(x):
-        return jnp.take_along_axis(x.reshape(B, C * k), topk_ind, axis=1)
-
-    return (topk_score, flat_gather(topk_inds), topk_cls_ids,
-            flat_gather(topk_xs), flat_gather(topk_ys))
 
 
 def get_heading_angle(heading: np.ndarray) -> float:

@@ -5,6 +5,12 @@ Parity with lib/helpers/scheduler_helper.py:6-18 + trainer_helper.py:80-83:
 the warmup scheduler (init_lr 1e-5, cosine over 5 epochs) is stepped for
 epochs < 5, the step-decay LambdaLR otherwise.  LR is a pure function of the
 epoch here — the trainer passes it into the jitted step as a scalar.
+
+The reference's LinearWarmupLR and BNMomentumScheduler
+(scheduler_helper.py:21-33,80-89) are defined-but-never-built there (no
+bnm_scheduler config section; build_bnm_scheduler is never called) and are
+deliberately NOT re-implemented: BN here is frozen and folded into conv
+scale/bias, and warmup is the cosine form the reference actually runs.
 """
 
 import math
@@ -38,26 +44,3 @@ def lr_at_epoch(cfg_lr: Dict[str, Any], base_lr: float, epoch: int,
         if epoch >= step:
             decay *= cfg_lr.get("decay_rate", 0.1)
     return base_lr * decay
-
-
-def linear_warmup_lr(base_lr: float, epoch: int, num_epoch: int = 5,
-                     init_lr: float = 0.0) -> float:
-    """LinearWarmupLR.get_lr (scheduler_helper.py:80-89) as a pure function.
-    Defined-but-unused in the reference; provided for API parity."""
-    return init_lr + (base_lr - init_lr) * epoch / num_epoch
-
-
-def bn_momentum_at_epoch(cfg_bnm: Dict[str, Any], epoch: int) -> float:
-    """BN-momentum schedule (scheduler_helper.py:21-33): step decay over
-    decay_list, clipped from below.
-
-    In this framework batch norm is *frozen and folded* into conv scale/bias
-    (the reference also never enables this scheduler: configs/monodetr.yaml
-    has no bnm_scheduler section and `build_bnm_scheduler` is never called),
-    so there is no live module to poke — the schedule is exposed as a pure
-    function for any future trainable-BN backbone."""
-    decay = 1.0
-    for step in cfg_bnm.get("decay_list", []):
-        if epoch >= step:
-            decay *= cfg_bnm.get("decay_rate", 0.1)
-    return max(cfg_bnm.get("momentum", 0.1) * decay, cfg_bnm.get("clip", 1e-2))

@@ -15,11 +15,7 @@ import torch.nn.functional as F
 
 from monodetr_tpu.ops import losses as L
 from monodetr_tpu.ops import utils as U
-from monodetr_tpu.eval import decode as D
-from monodetr_tpu.train.scheduler import (bn_momentum_at_epoch,
-                                          linear_warmup_lr, lr_at_epoch)
-from monodetr_tpu.utils.misc import (MetricLogger, NestedTensor, SmoothedValue,
-                                     accuracy, nested_array_from_list)
+from monodetr_tpu.train.scheduler import lr_at_epoch
 
 
 @pytest.fixture
@@ -179,74 +175,7 @@ def test_draw_msra_gaussian_center_value():
     assert 0 < hm[8, 10] < 1
 
 
-# ------------------------- centernet decode helpers ----------------------
-
-
-def test_heatmap_nms_matches_torch_maxpool(rng):
-    hm = rng.rand(2, 9, 11, 3).astype(np.float32)
-    got = np.asarray(D.heatmap_nms(jnp.asarray(hm)))
-    ht = torch.from_numpy(hm).permute(0, 3, 1, 2)
-    pooled = F.max_pool2d(ht, 3, stride=1, padding=1)
-    want = (ht * (pooled == ht).float()).permute(0, 2, 3, 1).numpy()
-    np.testing.assert_allclose(got, want)
-
-
-def test_heatmap_topk_matches_torch(rng):
-    B, H, W, C, K = 2, 6, 7, 3, 5
-    hm = rng.rand(B, H, W, C).astype(np.float32)
-    score, inds, cls_ids, xs, ys = (np.asarray(a) for a in
-                                    D.heatmap_topk(jnp.asarray(hm), K))
-
-    ht = torch.from_numpy(hm).permute(0, 3, 1, 2)  # [B, C, H, W]
-    t_scores, t_inds = torch.topk(ht.reshape(B, C, -1), K)
-    t_ys = (t_inds // W).float()
-    t_xs = (t_inds % W).float()
-    t_score, t_ind = torch.topk(t_scores.view(B, -1), K)
-    t_cls = (t_ind // K).int()
-
-    def tg(x):
-        return torch.gather(x.view(B, -1), 1, t_ind)
-
-    np.testing.assert_allclose(score, t_score.numpy(), rtol=1e-6)
-    np.testing.assert_array_equal(cls_ids, t_cls.numpy())
-    np.testing.assert_array_equal(inds, tg(t_inds).numpy())
-    np.testing.assert_allclose(xs, tg(t_xs).numpy())
-    np.testing.assert_allclose(ys, tg(t_ys).numpy())
-
-
-def test_gather_feat(rng):
-    feat = rng.randn(2, 12, 4).astype(np.float32)
-    ind = rng.randint(0, 12, (2, 5)).astype(np.int32)
-    got = np.asarray(D.gather_feat(jnp.asarray(feat), jnp.asarray(ind)))
-    for b in range(2):
-        np.testing.assert_allclose(got[b], feat[b][ind[b]])
-    fmap = rng.randn(2, 3, 4, 5).astype(np.float32)
-    ind2 = rng.randint(0, 12, (2, 4)).astype(np.int32)
-    got2 = np.asarray(D.transpose_and_gather_feat(jnp.asarray(fmap),
-                                                  jnp.asarray(ind2)))
-    for b in range(2):
-        np.testing.assert_allclose(got2[b], fmap[b].reshape(12, 5)[ind2[b]])
-
-
 # ------------------------------ schedules --------------------------------
-
-
-def test_linear_warmup_lr():
-    assert linear_warmup_lr(2e-4, 0, 5, 1e-5) == pytest.approx(1e-5)
-    assert linear_warmup_lr(2e-4, 5, 5, 1e-5) == pytest.approx(2e-4)
-    mid = linear_warmup_lr(2e-4, 2, 5, 1e-5)
-    assert 1e-5 < mid < 2e-4
-
-
-def test_bn_momentum_schedule():
-    cfg = {"momentum": 0.1, "decay_rate": 0.5, "decay_list": [10, 20],
-           "clip": 0.02}
-    assert bn_momentum_at_epoch(cfg, 0) == pytest.approx(0.1)
-    assert bn_momentum_at_epoch(cfg, 10) == pytest.approx(0.05)
-    assert bn_momentum_at_epoch(cfg, 20) == pytest.approx(0.025)
-    # clip binds once decay pushes below it
-    cfg["decay_list"] = [10, 20, 30]
-    assert bn_momentum_at_epoch(cfg, 30) == pytest.approx(0.02)
 
 
 def test_lr_schedule_reference_recipe():

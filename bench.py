@@ -46,9 +46,15 @@ def main():
     from monodetr_tpu.train.optimizer import build_optimizer
     from monodetr_tpu.train.train_step import make_train_step
 
-    B, H, W, T = 16, 384, 1280, 50
+    # env overrides for perf sweeps (tools/tpu_sprint.sh); defaults = the
+    # shipped config, so the driver's bare `python bench.py` is unaffected
+    B = int(os.environ.get("BENCH_BS", 16))
+    dec_impl = os.environ.get("BENCH_DEC_MSDA", "dense")
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    H, W, T = 384, 1280, 50
     # bf16 compute + remat: the TPU fast path (fp32 master params)
-    model = MonoDETR(dtype=jnp.bfloat16, remat=False, msda_impl="pallas")
+    model = MonoDETR(dtype=jnp.bfloat16, remat=remat, msda_impl="pallas",
+                     dec_msda_impl=dec_impl)
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
 
     rng = np.random.RandomState(0)
@@ -107,7 +113,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_throughput_384x1280_bs16",
+                "metric": f"train_throughput_384x1280_bs{B}",
                 "value": round(img_per_sec, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_sec / A100_REF_IMG_PER_SEC, 3),

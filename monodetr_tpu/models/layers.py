@@ -15,19 +15,31 @@ import numpy as np
 
 
 class MLP(nn.Module):
-    """ReLU MLP head — reference monodetr.py:535-547."""
+    """ReLU MLP head — reference monodetr.py:535-547.
+
+    `last_kernel_init` / `last_bias_init` override the FINAL layer's
+    initializers (the reference customizes exactly that layer: bbox-head
+    zero/-2.0 inits, monodetr.py:66-67,127,135,146)."""
 
     hidden_dim: int
     output_dim: int
     num_layers: int
     dtype: Any = jnp.float32
+    last_kernel_init: Any = None
+    last_bias_init: Any = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
-            dim = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(dim, dtype=self.dtype, name=f"layers_{i}")(x)
-            if i < self.num_layers - 1:
+            last = i == self.num_layers - 1
+            dim = self.output_dim if last else self.hidden_dim
+            kw = {}
+            if last and self.last_kernel_init is not None:
+                kw["kernel_init"] = self.last_kernel_init
+            if last and self.last_bias_init is not None:
+                kw["bias_init"] = self.last_bias_init
+            x = nn.Dense(dim, dtype=self.dtype, name=f"layers_{i}", **kw)(x)
+            if not last:
                 x = nn.relu(x)
         return x
 
@@ -168,10 +180,14 @@ class ConvGN(nn.Module):
     stride: int = 1
     groups: int = 32
     dtype: Any = jnp.float32
+    # input_proj blocks get xavier_uniform(gain=1) in the reference
+    # (monodetr.py:144-146); its other ConvGN uses stay on torch defaults
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self, x):
         pad = self.kernel // 2
+        kw = {} if self.kernel_init is None else {"kernel_init": self.kernel_init}
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -179,6 +195,7 @@ class ConvGN(nn.Module):
             padding=[(pad, pad), (pad, pad)],
             dtype=self.dtype,
             name="conv",
+            **kw,
         )(x)
         return nn.GroupNorm(
             num_groups=self.groups, epsilon=1e-5, dtype=self.dtype, name="gn"

@@ -15,6 +15,7 @@ from typing import Any, Dict, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.utils import grid_sample_bilinear, inverse_sigmoid
 from .backbone import ResNetBackbone
@@ -64,15 +65,16 @@ class MonoDETR(nn.Module):
         )
         # 1x1 conv+GN per backbone level + stride-2 3x3 for the synthesized
         # extra level (monodetr.py:78-99)
+        xavier = nn.initializers.xavier_uniform()
         projs = []
         for i in range(3):
             projs.append(
                 ConvGN(self.hidden_dim, kernel=1, dtype=self.dtype,
-                       name=f"input_proj_{i}")
+                       kernel_init=xavier, name=f"input_proj_{i}")
             )
         projs.append(
             ConvGN(self.hidden_dim, kernel=3, stride=2, dtype=self.dtype,
-                   name="input_proj_3")
+                   kernel_init=xavier, name="input_proj_3")
         )
         self.input_proj = projs
 
@@ -140,8 +142,24 @@ class MonoDETR(nn.Module):
             )
             for i in range(n_pred)
         ]
+        # bbox-head last-layer init, reference order (monodetr.py:66-67,
+        # 127, 135, 146): init_box zero-inits the final layer; with box
+        # refine, head 0's bias[2:6] (l, r, t, b extents) becomes -2.0
+        # (sigmoid ~= 0.12 initial boxes); two_stage then resets bias[2:]
+        # of EVERY head to 0.  Without refine the reference shares ONE head
+        # across layers, so the -2.0 applies to all of ours (closest
+        # untied equivalent).
+        def _bbox_bias(i):
+            b = np.zeros(6, np.float32)
+            if not self.two_stage and (i == 0 or not self.with_box_refine):
+                b[2:] = -2.0
+            return lambda key, shape, dtype=jnp.float32: jnp.asarray(b, dtype)
+
+        bbox_kernel = nn.initializers.zeros if self.init_box else None
         self.bbox_embed = [
-            MLP(self.hidden_dim, 6, 3, dtype=self.dtype, name=f"bbox_embed_{i}")
+            MLP(self.hidden_dim, 6, 3, dtype=self.dtype,
+                last_kernel_init=bbox_kernel, last_bias_init=_bbox_bias(i),
+                name=f"bbox_embed_{i}")
             for i in range(n_pred)
         ]
         self.dim_embed_3d = [

@@ -369,7 +369,9 @@ class DepthAwareTransformer(nn.Module):
             query_pos = jnp.broadcast_to(query_pos[None], (B,) + query_pos.shape)
             tgt = jnp.broadcast_to(tgt[None], (B,) + tgt.shape)
             reference_points = nn.sigmoid(
-                nn.Dense(2, dtype=jnp.float32, name="reference_points")(
+                nn.Dense(2, dtype=jnp.float32,
+                         kernel_init=nn.initializers.xavier_uniform(),
+                         name="reference_points")(
                     query_pos
                 )
             )

@@ -82,3 +82,36 @@ def test_dab_gradients_flow():
     g_tgt = np.asarray(g["params"]["tgt_embed"])
     assert np.isfinite(g_ref).all() and np.abs(g_ref[:50]).sum() > 0
     assert np.isfinite(g_tgt).all() and np.abs(g_tgt[:50]).sum() > 0
+
+
+@pytest.mark.slow
+def test_bbox_head_init_parity():
+    """From-scratch init must reproduce the reference's bbox-head setup
+    (monodetr.py:66-67,127,146): with box refine, head 0's final bias is
+    [0,0,-2,-2,-2,-2] and later heads' are zero; init_box zero-inits the
+    final kernel; two_stage resets every head's bias[2:] to 0."""
+    import jax
+    import numpy as np
+
+    from tests.test_model_variants import build
+
+    def last(params, i):
+        p = params["params"][f"bbox_embed_{i}"]["layers_2"]
+        return np.asarray(p["kernel"]), np.asarray(p["bias"])
+
+    _, params, *_ = build()
+    k0, b0 = last(params, 0)
+    np.testing.assert_array_equal(b0, [0, 0, -2, -2, -2, -2])
+    assert np.abs(k0).max() > 0
+    _, b1 = last(params, 1)
+    np.testing.assert_array_equal(b1, np.zeros(6))
+
+    _, params, *_ = build(init_box=True)
+    k0, b0 = last(params, 0)
+    np.testing.assert_array_equal(k0, np.zeros_like(k0))
+    np.testing.assert_array_equal(b0, [0, 0, -2, -2, -2, -2])
+
+    _, params, *_ = build(two_stage=True)
+    for i in range(4):  # dec_layers + 1 heads
+        _, b = last(params, i)
+        np.testing.assert_array_equal(b, np.zeros(6))

@@ -51,6 +51,11 @@ def main():
     B = int(os.environ.get("BENCH_BS", 16))
     dec_impl = os.environ.get("BENCH_DEC_MSDA", "dense")
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    # dropout-mask PRNG: 'threefry' (jax default, exact but VPU-heavy at
+    # [B,S,256]-sized masks) vs 'rbg' (TPU-native generator, much cheaper;
+    # no parity constraint on dropout bit patterns — the reference streams
+    # torch RNG).  Default stays threefry until the on-chip A/B runs.
+    rng_impl = os.environ.get("BENCH_RNG", "threefry")
     H, W, T = 384, 1280, 50
     # bf16 compute + remat: the TPU fast path (fp32 master params)
     model = MonoDETR(dtype=jnp.bfloat16, remat=remat, msda_impl="pallas",
@@ -96,7 +101,7 @@ def main():
         {"type": "adamw", "lr": 2e-4, "weight_decay": 1e-4}, params
     )
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl=rng_impl)
     lr = jnp.float32(2e-4)
 
     def run(donate):

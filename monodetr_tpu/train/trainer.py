@@ -60,7 +60,10 @@ class Trainer:
             logger.info("data parallel over %d devices" % mesh.size)
         else:
             self.train_step = make_train_step(model, criterion, step_fn)
-        self.rng = jax.random.PRNGKey(cfg.get("seed", 444))
+        # dropout-mask PRNG impl: 'rbg' is the cheap TPU-native generator
+        # (dropout bit patterns carry no reference-parity constraint)
+        self.rng = jax.random.key(cfg.get("seed", 444),
+                                  impl=cfg.get("rng_impl", "threefry"))
 
         if cfg.get("pretrain_model"):
             assert os.path.exists(cfg["pretrain_model"])

@@ -147,3 +147,20 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     assert len(orig) == len(back)
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+@pytest.mark.slow
+def test_train_step_accepts_rbg_rng(setup):
+    """The trainer's `rng_impl: rbg` knob hands the train step a TYPED
+    rbg key (raw uint32 keys silently re-wrap as threefry at the first
+    split); one full step must run and stay finite."""
+    model, crit, params, batch = setup
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    opt_state, step_fn = build_optimizer(
+        {"type": "adamw", "lr": 2e-4, "weight_decay": 1e-4}, params)
+    train_step = make_train_step(model, crit, step_fn)
+
+    rng = jax.random.key(444, impl="rbg")
+    rng, sub = jax.random.split(rng)
+    _, _, losses = train_step(params, opt_state, batch, jnp.float32(2e-4), sub)
+    assert np.isfinite(float(losses["loss_detr"]))

@@ -39,9 +39,12 @@ run_step bench_fused    1800 BENCH_DEC_MSDA=dense_fused python bench.py
 # 3. larger batch (flash-attn freed the big probs tensors; bs32 may now fit)
 run_step bench_bs32     1800 BENCH_BS=32 python bench.py
 run_step bench_bs32f    1800 BENCH_BS=32 BENCH_DEC_MSDA=dense_fused python bench.py
-# 4. fresh per-component profile at the best-known config
+# 4. rbg dropout PRNG (threefry mask generation is VPU-heavy at [B,S,256])
+run_step bench_rbg      1800 BENCH_RNG=rbg python bench.py
+run_step bench_rbgf     1800 BENCH_RNG=rbg BENCH_DEC_MSDA=dense_fused python bench.py
+# 5. fresh per-component profile at the best-known config
 run_step profile        1800 python tools/profile_step.py --steps 3 --batch 16
-# 5. windowed-clamp semantics validation (VERDICT item 4)
+# 6. windowed-clamp semantics validation (VERDICT item 4)
 run_step clamp          2400 python tools/validate_clamp.py --steps 300 --batch 8
 
 echo "=== sprint done ==="

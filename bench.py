@@ -55,7 +55,9 @@ def main():
     # [B,S,256]-sized masks) vs 'rbg' (TPU-native generator, much cheaper;
     # no parity constraint on dropout bit patterns — the reference streams
     # torch RNG).  Default stays threefry until the on-chip A/B runs.
-    rng_impl = os.environ.get("BENCH_RNG", "threefry")
+    rng_impl = os.environ.get("BENCH_RNG", "threefry2x32")
+    if rng_impl == "threefry":  # forgiving alias for the jax impl name
+        rng_impl = "threefry2x32"
     H, W, T = 384, 1280, 50
     # bf16 compute + remat: the TPU fast path (fp32 master params)
     model = MonoDETR(dtype=jnp.bfloat16, remat=remat, msda_impl="pallas",

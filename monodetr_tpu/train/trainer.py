@@ -62,8 +62,10 @@ class Trainer:
             self.train_step = make_train_step(model, criterion, step_fn)
         # dropout-mask PRNG impl: 'rbg' is the cheap TPU-native generator
         # (dropout bit patterns carry no reference-parity constraint)
-        self.rng = jax.random.key(cfg.get("seed", 444),
-                                  impl=cfg.get("rng_impl", "threefry"))
+        impl = cfg.get("rng_impl", "threefry2x32")
+        if impl == "threefry":  # forgiving alias for the jax impl name
+            impl = "threefry2x32"
+        self.rng = jax.random.key(cfg.get("seed", 444), impl=impl)
 
         if cfg.get("pretrain_model"):
             assert os.path.exists(cfg["pretrain_model"])

@@ -96,7 +96,7 @@ def main():
 
     trainer_cfg = dict(cfg["trainer"])
     trainer_cfg["seed"] = cfg.get("random_seed", 444)
-    trainer_cfg.setdefault("rng_impl", cfg.get("rng_impl", "threefry"))
+    trainer_cfg.setdefault("rng_impl", cfg.get("rng_impl", "threefry2x32"))
     trainer = Trainer(
         cfg=trainer_cfg,
         model=model,

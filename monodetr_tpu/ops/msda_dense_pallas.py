@@ -62,8 +62,11 @@ def _coords(spatial_shapes, padded):
         xs[~valid] = -1e6
         ys_all.append(ys)
         xs_all.append(xs)
-    ys = np.concatenate(ys_all).reshape(-1, _TS)
-    xs = np.concatenate(xs_all).reshape(-1, _TS)
+    # [NT, 1, _TS]: the singleton sublane axis makes the per-tile block
+    # shape (1, 1, _TS) legal on Mosaic (last two block dims must equal the
+    # array dims or be 8/128-multiples; (1, _TS) over [NT, _TS] is not)
+    ys = np.concatenate(ys_all).reshape(-1, 1, _TS)
+    xs = np.concatenate(xs_all).reshape(-1, 1, _TS)
     return ys, xs
 
 
@@ -85,8 +88,8 @@ def _fwd_kernel(lv_ref, fx_ref, fy_ref, att_ref, ys_ref, xs_ref, v_ref,
     fx = fx_ref[0, 0]          # [P, Qp] f32
     fy = fy_ref[0, 0]
     att = att_ref[0, 0]
-    ys = ys_ref[0]             # [ts]
-    xs = xs_ref[0]
+    ys = ys_ref[0, 0]          # [ts]
+    xs = xs_ref[0, 0]
     v = v_ref[0]               # [ts, D]
 
     w = None
@@ -115,8 +118,8 @@ def _bwd_kernel(lv_ref, fx_ref, fy_ref, att_ref, ys_ref, xs_ref, v_ref,
     fx = fx_ref[0, 0]
     fy = fy_ref[0, 0]
     att = att_ref[0, 0]
-    ys = ys_ref[0]
-    xs = xs_ref[0]
+    ys = ys_ref[0, 0]
+    xs = xs_ref[0, 0]
     v = v_ref[0].astype(jnp.float32)     # [ts, D]
     g = g_ref[0]                         # [Qp, D] f32
 
@@ -206,7 +209,7 @@ def _layouts(value, spatial_shapes, sampling_locations, attention_weights):
 
 def _common_specs(L, P, Qp, D):
     qspec = pl.BlockSpec((1, 1, P, Qp), lambda bh, it, s: (bh, s[it], 0, 0))
-    cspec = pl.BlockSpec((1, _TS), lambda bh, it, s: (it, 0))
+    cspec = pl.BlockSpec((1, 1, _TS), lambda bh, it, s: (it, 0, 0))
     vspec = pl.BlockSpec((1, _TS, D), lambda bh, it, s: (bh, it, 0))
     return qspec, cspec, vspec
 

@@ -7,16 +7,41 @@ regression: `ms_deform_attn_dense_fused` passed all interpret tests but
 failed on the chip with an illegal (1, 512)-over-[NT, 512] coord block.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import monodetr_tpu.ops as ops_pkg
 from monodetr_tpu.ops import attention_pallas, lap_pallas, msda_dense_pallas, msda_pallas
+
+PALLAS_MODULES = (attention_pallas, lap_pallas, msda_dense_pallas, msda_pallas)
 
 SHAPES = ((48, 160), (24, 80), (12, 40), (6, 20))
 S = sum(h * w for h, w in SHAPES)
 B, H, D, L, P = 2, 8, 32, 4, 4
+
+
+def test_every_pallas_op_module_is_preflighted():
+    """Guard: any ops module calling pl.pallas_call must be in PALLAS_MODULES
+    (and thus get a Mosaic-lowering preflight here); a new Pallas op added
+    without one silently skips the exact check this file exists for."""
+    ops_dir = os.path.dirname(ops_pkg.__file__)
+    using_pallas = set()
+    for fname in os.listdir(ops_dir):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(ops_dir, fname)) as f:
+            if "pallas_call" in f.read():
+                using_pallas.add(fname[:-3])
+    covered = {m.__name__.rsplit(".", 1)[-1] for m in PALLAS_MODULES}
+    assert using_pallas == covered, (
+        "Pallas-using ops modules without a TPU-lowering preflight: "
+        f"{sorted(using_pallas - covered)}; stale entries: "
+        f"{sorted(covered - using_pallas)}"
+    )
 
 
 def _export_tpu(fn, *args):
@@ -27,7 +52,7 @@ def _export_tpu(fn, *args):
 @pytest.fixture(autouse=True)
 def _no_interpret(monkeypatch):
     """Force the real Mosaic lowering path (not interpret) off-TPU."""
-    for mod in (attention_pallas, lap_pallas, msda_dense_pallas, msda_pallas):
+    for mod in PALLAS_MODULES:
         monkeypatch.setattr(mod, "_interpret", lambda: False)
 
 

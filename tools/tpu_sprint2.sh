@@ -28,7 +28,6 @@ run_step() {  # name timeout cmd...
   timeout "$tmo" env "$@" > "/tmp/sprint2_$name.log" 2>&1
   local rc=$?
   grep -h '"metric"' "/tmp/sprint2_$name.log" | tail -1 | sed "s/^/$name [rc=$rc]: /" >> "$S"
-  [ -s /dev/null ] && true
   if ! grep -q '"metric"' "/tmp/sprint2_$name.log"; then
     tail -1 "/tmp/sprint2_$name.log" | sed "s/^/$name [rc=$rc]: /" >> "$S"
   fi

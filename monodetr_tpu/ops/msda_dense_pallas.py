@@ -70,16 +70,16 @@ def _coords(spatial_shapes, padded):
     return ys, xs
 
 
-def _hats(fx, fy, att, ys, xs, P):
-    """per-p (hy, hx, a) with hy/hx [Qp, ts], a [Qp, 1].
+def _hat_pair(fx, fy, att, ys, xs, p):
+    """One point's (hy, hx, a): hy/hx [Qp, ts], a [Qp, 1].
 
-    fx/fy/att come in [P, Qp]; ys/xs [ts]."""
-    out = []
-    for p in range(P):
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(fy[p][:, None] - ys[None, :]))
-        hx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[p][:, None] - xs[None, :]))
-        out.append((hy, hx, att[p][:, None]))
-    return out
+    Evaluated per-p at each use site (NOT collected into a list): keeping
+    all P pairs alive at once put 8 [Qp, ts] f32 arrays on the Mosaic
+    stack simultaneously and blew the scoped-VMEM limit at decoder shapes
+    (28.6 MB > 16 MB, observed on-chip)."""
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(fy[p][:, None] - ys[None, :]))
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[p][:, None] - xs[None, :]))
+    return hy, hx, att[p][:, None]
 
 
 def _fwd_kernel(lv_ref, fx_ref, fy_ref, att_ref, ys_ref, xs_ref, v_ref,
@@ -93,7 +93,8 @@ def _fwd_kernel(lv_ref, fx_ref, fy_ref, att_ref, ys_ref, xs_ref, v_ref,
     v = v_ref[0]               # [ts, D]
 
     w = None
-    for hy, hx, a in _hats(fx, fy, att, ys, xs, P):
+    for p in range(P):
+        hy, hx, a = _hat_pair(fx, fy, att, ys, xs, p)
         term = a * hy * hx
         w = term if w is None else w + term
 
@@ -123,9 +124,9 @@ def _bwd_kernel(lv_ref, fx_ref, fy_ref, att_ref, ys_ref, xs_ref, v_ref,
     v = v_ref[0].astype(jnp.float32)     # [ts, D]
     g = g_ref[0]                         # [Qp, D] f32
 
-    hats = _hats(fx, fy, att, ys, xs, P)
     w = None
-    for hy, hx, a in hats:
+    for p in range(P):
+        hy, hx, a = _hat_pair(fx, fy, att, ys, xs, p)
         term = a * hy * hx
         w = term if w is None else w + term
 
@@ -144,15 +145,19 @@ def _bwd_kernel(lv_ref, fx_ref, fy_ref, att_ref, ys_ref, xs_ref, v_ref,
         dfy_acc[...] = jnp.zeros_like(dfy_acc)
         datt_acc[...] = jnp.zeros_like(datt_acc)
 
-    for p, (hy, hx, a) in enumerate(hats):
+    for p in range(P):
+        hy, hx, a = _hat_pair(fx, fy, att, ys, xs, p)
         dy = fy[p][:, None] - ys[None, :]
         dx = fx[p][:, None] - xs[None, :]
         # d hat(d)/dd = -sign(d) on |d| < 1 (0 outside; boundary measure-0)
         ghy = jnp.where(jnp.abs(dy) < 1.0, -jnp.sign(dy), 0.0)
         ghx = jnp.where(jnp.abs(dx) < 1.0, -jnp.sign(dx), 0.0)
-        da = jnp.sum(dw * hy * hx, axis=1)                  # [Qp]
-        dfyv = jnp.sum(dw * (a * ghy * hx), axis=1)
-        dfxv = jnp.sum(dw * (a * hy * ghx), axis=1)
+        # factor through t = dw·hx / u = dw·hy so each grad is one extra
+        # multiply-reduce (live f32 [Qp, ts] peak: dw, hy, hx, ghy/ghx, t/u)
+        t = dw * hx
+        da = jnp.sum(t * hy, axis=1)                        # [Qp]
+        dfyv = a[:, 0] * jnp.sum(t * ghy, axis=1)
+        dfxv = a[:, 0] * jnp.sum((dw * hy) * ghx, axis=1)
         # tile belongs to one level: predicated accumulate (lv is a
         # dynamic scalar; Mosaic dislikes dynamic writes, so unroll L)
         for l in range(L):
@@ -233,7 +238,8 @@ def _fwd_impl(value, spatial_shapes, sampling_locations, attention_weights):
         ),
         out_shape=jax.ShapeDtypeStruct((B * H, Qp, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=_interpret(),
     )(lv_of_tile, fx, fy, att, ys, xs, v_pad)
 
@@ -273,7 +279,8 @@ def _bwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
             jax.ShapeDtypeStruct((B * H, L, P, Qp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=_interpret(),
     )(lv_of_tile, fx, fy, att, ys, xs, v_pad, g)
 

@@ -403,33 +403,41 @@ def _check_contract(value, sampling_locations, spatial_shapes):
                     f"ratios per axis; got sizes {a} vs {b}")
 
 
-def _preprocess(value, spatial_shapes, sampling_locations, attention_weights,
-                G):
-    """Shared fwd/bwd prep: padded per-level maps + lane-packed coords."""
+def _pad_value(value, spatial_shapes):
+    """[B, S, H, D] level-major rows -> per-level PAD-haloed NHWC maps."""
     B, S, H, D = value.shape
-    _check_contract(value, sampling_locations, spatial_shapes)
     starts = level_start_indices(spatial_shapes)
-
     vmaps = []
     for lv, (hv, wv) in enumerate(spatial_shapes):
         m = value[:, starts[lv]:starts[lv] + hv * wv].reshape(B, hv, wv, H * D)
         vmaps.append(jnp.pad(m, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0))))
+    return vmaps
 
+
+def _pack(spatial_shapes, sampling_locations, attention_weights, G):
+    """Normalized sampling locations -> clamped, lane-packed [B, S, 128]
+    pixel coords + weights.
+
+    Plain differentiable jnp ops OUTSIDE the custom-vjp boundary: JAX AD
+    provides the chain rule back to (loc, att) — including the windowed
+    clamp's gradient masking, which is exactly jnp.clip's VJP — and XLA
+    fuses this elementwise chain into the offset/weight projection
+    epilogues.  Keeping it inside the custom_vjp forced the inflated
+    [B, S, H, L, P(, 2)] f32 arrays (~1.25 GB at bench shapes) to
+    materialize in HBM as op inputs AND as saved residuals every layer."""
+    B, S = sampling_locations.shape[:2]
     sizes = np.array([[w, h] for h, w in spatial_shapes], np.float32)
     f_raw = (sampling_locations.astype(jnp.float32)
              * sizes[None, None, None, :, None, :] - 0.5)
     centers = _center_positions(spatial_shapes)[None, :, None, :, None, :]
     lim = G / 2 - 1 - 1e-2
     f = jnp.clip(f_raw, centers - lim, centers + lim)
-    unclamped = (f_raw > centers - lim) & (f_raw < centers + lim)
 
     def lanes(x):  # [B, S, H, L, P] -> [B, S, 128] lane order (lv, h, p)
         return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(B, S, 128)
 
-    fx = lanes(f[..., 0])
-    fy = lanes(f[..., 1])
-    att = lanes(attention_weights.astype(jnp.float32))
-    return vmaps, fx, fy, att, unclamped, sizes
+    return lanes(f[..., 0]), lanes(f[..., 1]), lanes(
+        attention_weights.astype(jnp.float32))
 
 
 def _lane_spec(T):
@@ -437,15 +445,13 @@ def _lane_spec(T):
     return pl.BlockSpec((1, 1, 128, T), lambda b, i: (b, i, 0, 0))
 
 
-def _fwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
-              window):
+def _fwd_impl(value, spatial_shapes, fx, fy, att, window):
     B, S, H, D = value.shape
     G = window
     _check_pad(spatial_shapes, G)
     starts = level_start_indices(spatial_shapes)
     L = len(spatial_shapes)
-    vmaps, fx, fy, att, _, _ = _preprocess(
-        value, spatial_shapes, sampling_locations, attention_weights, G)
+    vmaps = _pad_value(value, spatial_shapes)
 
     outs = []
     for lq, (hq, wq) in enumerate(spatial_shapes):
@@ -481,14 +487,12 @@ def _fwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
     return jnp.concatenate(outs, axis=1).astype(value.dtype)
 
 
-def _bwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
-              window, gout):
+def _bwd_impl(value, spatial_shapes, fx, fy, att, window, gout):
     B, S, H, D = value.shape
     G = window
     starts = level_start_indices(spatial_shapes)
     L = len(spatial_shapes)
-    vmaps, fx, fy, att, unclamped, sizes = _preprocess(
-        value, spatial_shapes, sampling_locations, attention_weights, G)
+    vmaps = _pad_value(value, spatial_shapes)
     gout = gout.reshape(B, S, H * D).astype(jnp.float32)
 
     gvmaps = [jnp.zeros(v.shape, jnp.float32) for v in vmaps]
@@ -547,20 +551,30 @@ def _bwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
         core = gvmaps[lv][:, PAD:PAD + hv, PAD:PAD + wv, :]
         gv_rows.append(core.reshape(B, hv * wv, H, D))
     gvalue = jnp.concatenate(gv_rows, axis=1).astype(value.dtype)
-
-    def unlanes(x):  # [B, S, 128] -> [B, S, H, L, P]
-        return jnp.transpose(x.reshape(B, S, L, H, 4), (0, 1, 3, 2, 4))
-
-    # chain through f = loc * size - 0.5 (clamped): d f / d loc = size
-    gf = jnp.stack([unlanes(gfx), unlanes(gfy)], axis=-1)
-    gloc = (gf * unclamped.astype(jnp.float32)
-            * sizes[None, None, None, :, None, :]).astype(
-                sampling_locations.dtype)
-    gattn = unlanes(gatt).astype(attention_weights.dtype)
-    return gvalue, gloc, gattn
+    return gvalue, gfx, gfy, gatt
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def _msda_packed(value, spatial_shapes, fx, fy, att, window):
+    """Custom-vjp core over the COMPACT lane-packed operands (fx/fy/att
+    [B, S, 128] f32): only these + value are saved as residuals, and the
+    backward emits gradients in the same layout."""
+    return _fwd_impl(value, spatial_shapes, fx, fy, att, window)
+
+
+def _fwd_rule(value, spatial_shapes, fx, fy, att, window):
+    out = _fwd_impl(value, spatial_shapes, fx, fy, att, window)
+    return out, (value, fx, fy, att)
+
+
+def _bwd_rule(spatial_shapes, window, res, gout):
+    value, fx, fy, att = res
+    return _bwd_impl(value, spatial_shapes, fx, fy, att, window, gout)
+
+
+_msda_packed.defvjp(_fwd_rule, _bwd_rule)
+
+
 def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
                           attention_weights, window: int = 8):
     """Windowed MSDA for grid queries (Q == S): Pallas TPU implementation.
@@ -568,23 +582,11 @@ def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
     Semantics match ms_deform_attn_windowed(value, ..., window): sampling
     positions are clamped to +-(G/2-1) pixels around each query's static
     center position in every sampled level.  Differentiable via a custom
-    Pallas backward (W2 recompute + RMW strip-gradient accumulation).
+    Pallas backward (W2 recompute + RMW strip-gradient accumulation); the
+    clamp/pack prologue stays outside the custom-vjp so AD chains through
+    it and XLA fuses it with the projection epilogues (see _pack).
     """
-    return _fwd_impl(value, spatial_shapes, sampling_locations,
-                     attention_weights, window)
-
-
-def _fwd_rule(value, spatial_shapes, sampling_locations, attention_weights,
-              window):
-    out = _fwd_impl(value, spatial_shapes, sampling_locations,
-                    attention_weights, window)
-    return out, (value, sampling_locations, attention_weights)
-
-
-def _bwd_rule(spatial_shapes, window, res, gout):
-    value, sampling_locations, attention_weights = res
-    return _bwd_impl(value, spatial_shapes, sampling_locations,
-                     attention_weights, window, gout)
-
-
-ms_deform_attn_pallas.defvjp(_fwd_rule, _bwd_rule)
+    _check_contract(value, sampling_locations, spatial_shapes)
+    fx, fy, att = _pack(spatial_shapes, sampling_locations,
+                        attention_weights, window)
+    return _msda_packed(value, tuple(spatial_shapes), fx, fy, att, window)

@@ -13,6 +13,7 @@ feeding:
   - per-epoch reseeding hook matching trainer_helper.py:74.
 """
 
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -20,11 +21,33 @@ from typing import Any, Dict, Iterator, List, Tuple
 
 import numpy as np
 
+# Process-pool worker plumbing: the dataset is published as a module global
+# BEFORE the fork so children inherit it by COW page sharing; the mapped
+# function is module-level so only its qualified name + an int index cross
+# the task pipe (the bound method `dataset.__getitem__` would re-pickle the
+# whole dataset per map call).
+_PROC_DATASET = None
+
+
+def _proc_init(counter, base_seed):
+    """Forked children inherit the parent's np.random state bit-for-bit;
+    reseed each worker distinctly (the reference's worker_init_fn concern,
+    dataloader_helper.py:20-23) so augmentation streams decorrelate."""
+    with counter.get_lock():
+        rank = counter.value
+        counter.value += 1
+    np.random.seed((base_seed * 1000 + rank) % (2 ** 31))
+
+
+def _proc_get(i):
+    return _PROC_DATASET[i]
+
 
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  num_workers: int = 4, seed: int = 444, prefetch: int = 2,
-                 drop_last: bool = False, process_shard=None):
+                 drop_last: bool = False, process_shard=None,
+                 worker_mode: str = "thread"):
         """process_shard: None (single host) or (process_index,
         process_count) for multi-host DP.  batch_size is then the GLOBAL
         batch; every process derives the same index order (same
@@ -32,7 +55,15 @@ class DataLoader:
         [pi*local : (pi+1)*local] of each global batch, which is exactly
         the addressable shard `jax.make_array_from_process_local_data`
         expects for a 1-D data mesh in process order (parallel/mesh.py
-        shard_batch_fn)."""
+        shard_batch_fn).
+
+        worker_mode: 'thread' (ThreadPoolExecutor; decode/warp release the
+        GIL so this scales while the python-side target encode stays under
+        one core's worth) or 'process' (forked worker processes, the
+        reference DataLoader's num_workers model,
+        dataloader_helper.py:12-36 — full GIL isolation; samples return
+        over pipes as pickled numpy, ~2-3 ms/img vs the ~26 ms/img
+        decode+warp they parallelize)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,6 +72,9 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode {worker_mode!r}")
+        self.worker_mode = worker_mode
         if process_shard is not None:
             pi, pc = process_shard
             if batch_size % pc != 0:
@@ -114,7 +148,20 @@ class DataLoader:
                 for idxs, n_valid in batches
             ]
 
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self.worker_mode == "process":
+            global _PROC_DATASET
+            _PROC_DATASET = self.dataset
+            ctx = multiprocessing.get_context("fork")
+            counter = ctx.Value("i", 0)
+            pool = ctx.Pool(self.num_workers, initializer=_proc_init,
+                            initargs=(counter, self.seed + self.epoch))
+            fetch = lambda idxs: pool.map(_proc_get, idxs)
+            shutdown = pool.terminate
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            fetch = lambda idxs: list(
+                pool.map(self.dataset.__getitem__, idxs))
+            shutdown = lambda: pool.shutdown(wait=False)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -123,8 +170,7 @@ class DataLoader:
                 for idxs, n_valid in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    out_q.put(self._collate(samples, n_valid))
+                    out_q.put(self._collate(fetch(idxs), n_valid))
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 out_q.put(e)
@@ -141,7 +187,7 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
-            pool.shutdown(wait=False)
+            shutdown()
 
 
 def build_dataloader(cfg: Dict[str, Any], workers: int = 4,
@@ -152,14 +198,17 @@ def build_dataloader(cfg: Dict[str, Any], workers: int = 4,
     loads its slice of every global batch)."""
     from .kitti_dataset import KITTIDataset
 
+    worker_mode = cfg.get("worker_mode", "thread")
     train_set = KITTIDataset(split=cfg["train_split"], cfg=cfg)
     test_set = KITTIDataset(split=cfg["test_split"], cfg=cfg)
     train_loader = DataLoader(
         train_set, batch_size=cfg["batch_size"], shuffle=True,
         num_workers=workers, process_shard=process_shard,
+        worker_mode=worker_mode,
     )
     test_loader = DataLoader(
         test_set, batch_size=cfg["batch_size"], shuffle=False,
         num_workers=workers, process_shard=process_shard,
+        worker_mode=worker_mode,
     )
     return train_loader, test_loader

@@ -128,3 +128,16 @@ def test_crop_scales_depth(kitti_root):
             np.sort(t_crop["depth"][t_crop["mask"]].ravel()),
             np.sort(t_none["depth"][v].ravel()),
         )
+
+
+def test_loader_process_workers_match_threaded(kitti_root):
+    """Fork-pool workers (reference DataLoader's num_workers model) yield
+    the same batches as the threaded pool on an augmentation-free split."""
+    ds = KITTIDataset("val", make_cfg(kitti_root))
+    dl_t = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+    dl_p = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                      worker_mode="process")
+    for (bt, it), (bp, ip) in zip(dl_t, dl_p):
+        assert [i["img_id"] for i in it] == [i["img_id"] for i in ip]
+        for k in bt:
+            np.testing.assert_array_equal(bt[k], bp[k])

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--workers", default="2,4,8,12")
+    ap.add_argument("--mode", default="thread,process",
+                    help="comma list of worker modes to sweep")
     ap.add_argument("--root", default="/tmp/kitti_loader_bench")
     args = ap.parse_args()
 
@@ -42,9 +44,10 @@ def main():
     print(f"native warp: {native.available()}; dataset: {len(ds)} images; "
           f"host cpus: {os.cpu_count()}")
 
-    for w in [int(x) for x in args.workers.split(",")]:
+    for mode in args.mode.split(","):
+      for w in [int(x) for x in args.workers.split(",")]:
         loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
-                            num_workers=w, prefetch=4)
+                            num_workers=w, prefetch=4, worker_mode=mode)
         np.random.seed(0)
         it = iter(loader)
         next(it)  # warm the pool
@@ -56,7 +59,7 @@ def main():
                 break
         dt = time.perf_counter() - t0
         bps = n / dt
-        print(f"workers={w:3d}: {bps:6.2f} batches/s = "
+        print(f"mode={mode:8s} workers={w:3d}: {bps:6.2f} batches/s = "
               f"{bps * args.batch_size:7.1f} img/s")
 
 

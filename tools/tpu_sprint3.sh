@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-3 measurement queue (serial; NEVER probe the chip while running):
+#   1. fused  — dense_fused decoder MSDA (scoped-VMEM fix + packed-vjp enc)
+#   2. rbgf   — rbg dropout PRNG on top of dense_fused
+#   3. base   — shipped default under the packed-vjp encoder refactor
+#   4. bs32   — batch 32 with the winning kernel combo (amortization probe)
+#   5. bs32r  — batch 32 + remat fallback if plain bs32 OOMs
+#   6. clamp  — gather-vs-pallas semantics A/B (VERDICT round-1 item 4)
+set -u
+cd /root/repo
+S=/tmp/sprint3_summary.txt
+: > "$S"
+
+probe() {
+  timeout 120 python -c \
+    "import jax, jax.numpy as jnp; print(float((jnp.ones((128,128))@jnp.ones((128,128))).sum()))" \
+    >/dev/null 2>&1
+}
+
+run_step() {  # name timeout cmd...
+  local name=$1 tmo=$2; shift 2
+  if ! probe; then
+    sleep 60
+    if ! probe; then
+      echo "$name: SKIPPED (chip down before start)" >> "$S"
+      return 1
+    fi
+  fi
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  timeout "$tmo" env "$@" > "/tmp/sprint3_$name.log" 2>&1
+  local rc=$?
+  grep -h '"metric"' "/tmp/sprint3_$name.log" | tail -1 | sed "s/^/$name [rc=$rc]: /" >> "$S"
+  if ! grep -q '"metric"' "/tmp/sprint3_$name.log"; then
+    tail -1 "/tmp/sprint3_$name.log" | sed "s/^/$name [rc=$rc]: /" >> "$S"
+  fi
+  sleep 10
+  return $rc
+}
+
+run_step fused 1800 BENCH_DEC_MSDA=dense_fused python bench.py
+run_step rbgf  1800 BENCH_RNG=rbg BENCH_DEC_MSDA=dense_fused python bench.py
+run_step base  1800 python bench.py
+if ! run_step bs32 1800 BENCH_BS=32 BENCH_RNG=rbg BENCH_DEC_MSDA=dense_fused python bench.py; then
+  run_step bs32r 2400 BENCH_BS=32 BENCH_REMAT=1 BENCH_RNG=rbg BENCH_DEC_MSDA=dense_fused python bench.py
+fi
+
+echo "=== clamp validation ($(date +%H:%M:%S)) ==="
+timeout 5400 python tools/validate_clamp.py > /tmp/sprint3_clamp.log 2>&1
+echo "validate_clamp rc=$?" >> "$S"
+tail -5 /tmp/sprint3_clamp.log
+
+echo "=== sprint3 done ==="
+cat "$S"

@@ -49,18 +49,20 @@ def main():
     # env overrides for perf sweeps (tools/tpu_sprint.sh); defaults = the
     # shipped config, so the driver's bare `python bench.py` is unaffected
     B = int(os.environ.get("BENCH_BS", 16))
-    dec_impl = os.environ.get("BENCH_DEC_MSDA", "dense")
-    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    dec_impl = os.environ.get("BENCH_DEC_MSDA", "sep")
+    remat = os.environ.get("BENCH_REMAT", "0")  # 0|1|backbone|encoder|all
+    remat = {"0": False, "1": True}.get(remat, remat)
     # dropout-mask PRNG: 'threefry' (jax default, exact but VPU-heavy at
     # [B,S,256]-sized masks) vs 'rbg' (TPU-native generator, much cheaper;
     # no parity constraint on dropout bit patterns — the reference streams
     # torch RNG).  Default stays threefry until the on-chip A/B runs.
-    rng_impl = os.environ.get("BENCH_RNG", "threefry2x32")
+    rng_impl = os.environ.get("BENCH_RNG", "rbg")  # shipped default
     if rng_impl == "threefry":  # forgiving alias for the jax impl name
         rng_impl = "threefry2x32"
     H, W, T = 384, 1280, 50
     # bf16 compute + remat: the TPU fast path (fp32 master params)
-    model = MonoDETR(dtype=jnp.bfloat16, remat=remat, msda_impl="pallas",
+    enc_impl = os.environ.get("BENCH_MSDA", "pallas")  # pallas | sepwin
+    model = MonoDETR(dtype=jnp.bfloat16, remat=remat, msda_impl=enc_impl,
                      dec_msda_impl=dec_impl)
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
 

@@ -50,9 +50,21 @@ class MonoDETR(nn.Module):
     two_stage_dino: bool = False
     position_embedding: str = "sine"  # 'sine' or 'learned'
     dtype: Any = jnp.float32  # compute dtype (bf16 for the TPU fast path)
-    remat: bool = False  # rematerialize backbone blocks + encoder layers
+    # rematerialization scope (memory for compute):
+    #   False/"none" — save all activations (fastest when they fit);
+    #   "backbone"   — remat ResNet blocks only (cheapest memory/compute
+    #                  trade: conv recompute is MXU-dense and overlaps);
+    #   "encoder"    — remat encoder layers only (MSDA output saved);
+    #   True/"all"   — both (the 2x-resolution stress path).
+    remat: Any = False
     msda_impl: str = "gather"  # encoder MSDA kernel: gather | pallas | windowed
-    dec_msda_impl: str = "dense"  # decoder cross-attn MSDA: dense (exact, fast) | gather
+    dec_msda_impl: str = "sep"  # decoder cross-attn MSDA: sep (exact, MXU Pallas) | dense | gather
+
+    def _remat_in(self, scope):
+        r = {False: (), "none": (), "backbone": ("backbone",),
+             "encoder": ("encoder",), True: ("backbone", "encoder"),
+             "all": ("backbone", "encoder")}[self.remat]
+        return scope in r
 
     def setup(self):
         if self.position_embedding in ("v3", "learned"):
@@ -61,7 +73,8 @@ class MonoDETR(nn.Module):
             )
         self.backbone = ResNetBackbone(
             name_or_depth=self.backbone_name, dilation=self.dilation,
-            dtype=self.dtype, remat=self.remat, name="backbone"
+            dtype=self.dtype, remat=self._remat_in("backbone"),
+            name="backbone"
         )
         # 1x1 conv+GN per backbone level + stride-2 3x3 for the synthesized
         # extra level (monodetr.py:78-99)
@@ -103,7 +116,7 @@ class MonoDETR(nn.Module):
             two_stage_dino=self.two_stage_dino,
             two_stage_num_proposals=self.num_queries,
             dtype=self.dtype,
-            remat=self.remat,
+            remat=self._remat_in("encoder"),
             msda_impl=self.msda_impl,
             dec_msda_impl=self.dec_msda_impl,
             name="transformer",
@@ -340,5 +353,5 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         dtype=jnp.bfloat16 if cfg.get("dtype", "float32") in ("bf16", "bfloat16") else jnp.float32,
         remat=cfg.get("remat", False),
         msda_impl=cfg.get("msda_impl", "gather"),
-        dec_msda_impl=cfg.get("dec_msda_impl", "dense"),
+        dec_msda_impl=cfg.get("dec_msda_impl", "sep"),
     )

@@ -53,6 +53,10 @@ class MSDeformAttn(nn.Module):
       - "dense_fused": same exact semantics, weight tiles built in VMEM by
         a Pallas kernel (ops/msda_dense_pallas.py) — no HBM W traffic;
         XLA dense fallback on CPU;
+      - "sep": same exact semantics, semi-separable MXU Pallas kernel
+        (ops/msda_sep_pallas.py) — the per-axis hat factorization turns the
+        O(Q*S) work into matmuls with no HBM W traffic and no dense VPU
+        hat wall; XLA dense fallback on CPU;
       - "windowed": pure-XLA shift formulation of the same windowed math
         (oracle/testing; slow at scale).
     """
@@ -160,6 +164,22 @@ class MSDeformAttn(nn.Module):
                 from ..ops.msda_dense_pallas import ms_deform_attn_dense_fused
 
                 out = ms_deform_attn_dense_fused(
+                    value, tuple(spatial_shapes), loc,
+                    attn.astype(jnp.float32)
+                ).astype(self.dtype)
+        elif self.impl == "sep":
+            # exact semantics; XLA dense fallback off-TPU (interpret-mode
+            # pallas is too slow for full-model CPU tests)
+            if jax.devices()[0].platform == "cpu":
+                from ..ops.msda import ms_deform_attn_dense
+
+                out = ms_deform_attn_dense(
+                    value, tuple(spatial_shapes), loc, attn.astype(self.dtype)
+                ).astype(self.dtype)
+            else:
+                from ..ops.msda_sep_pallas import ms_deform_attn_sep
+
+                out = ms_deform_attn_sep(
                     value, tuple(spatial_shapes), loc,
                     attn.astype(jnp.float32)
                 ).astype(self.dtype)

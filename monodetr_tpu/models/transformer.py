@@ -214,7 +214,7 @@ class DepthAwareTransformer(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     msda_impl: str = "gather"  # encoder self-attn kernel (see MSDeformAttn)
-    dec_msda_impl: str = "dense"  # decoder cross-attn kernel (exact; fast)
+    dec_msda_impl: str = "sep"  # decoder cross-attn kernel (exact; MXU Pallas)
 
     @nn.compact
     def __call__(self, srcs, pos_embeds, query_embed, depth_embed,

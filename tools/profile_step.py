@@ -159,7 +159,15 @@ def main():
     from monodetr_tpu.train.optimizer import build_optimizer
     from monodetr_tpu.train.train_step import make_train_step
 
-    model = MonoDETR(dtype=jnp.bfloat16, remat=False, msda_impl="pallas")
+    # same env overrides as bench.py so traces match bench configurations
+    rng_impl = os.environ.get("BENCH_RNG", "rbg")  # shipped default
+    if rng_impl == "threefry":
+        rng_impl = "threefry2x32"
+    model = MonoDETR(
+        dtype=jnp.bfloat16,
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        msda_impl=os.environ.get("BENCH_MSDA", "pallas"),
+        dec_msda_impl=os.environ.get("BENCH_DEC_MSDA", "sep"))
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
     batch = make_batch(args.batch, 384, 1280)
 
@@ -170,7 +178,7 @@ def main():
         {"type": "adamw", "lr": 2e-4, "weight_decay": 1e-4}, params)
     train_step = make_train_step(model, crit, step_fn, donate=False)
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl=rng_impl)
     lr = jnp.float32(2e-4)
     p, s = params, opt_state
     for _ in range(4):  # warmup/compile

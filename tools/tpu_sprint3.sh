@@ -1,15 +1,15 @@
 #!/bin/bash
-# Round-3 measurement queue (serial; NEVER probe the chip while running):
-#   1. fused  — dense_fused decoder MSDA (scoped-VMEM fix + packed-vjp enc)
-#   2. rbgf   — rbg dropout PRNG on top of dense_fused
-#   3. base   — shipped default under the packed-vjp encoder refactor
-#   4. bs32   — batch 32 with the winning kernel combo (amortization probe)
-#   5. bs32r  — batch 32 + remat fallback if plain bs32 OOMs
-#   6. clamp  — gather-vs-pallas semantics A/B (VERDICT round-1 item 4)
+# Round-3 measurement queue, rev B (dense_fused REGRESSED: 26.9 vs 31.8
+# img/s, so the decoder stays on the XLA dense path).  Serial; NEVER probe
+# the chip manually while this runs.
+#   1. base  — shipped default under the packed-vjp encoder refactor
+#   2. rbg   — rbg dropout PRNG on top
+#   3. bs32  — batch 32 + rbg (amortization probe); remat fallback on OOM
+#   4. clamp — gather-vs-pallas semantics A/B (VERDICT round-1 item 4)
+#   5. trace — profile_step breakdown of the winning config
 set -u
 cd /root/repo
 S=/tmp/sprint3_summary.txt
-: > "$S"
 
 probe() {
   timeout 120 python -c \
@@ -37,17 +37,18 @@ run_step() {  # name timeout cmd...
   return $rc
 }
 
-run_step fused 1800 BENCH_DEC_MSDA=dense_fused python bench.py
-run_step rbgf  1800 BENCH_RNG=rbg BENCH_DEC_MSDA=dense_fused python bench.py
-run_step base  1800 python bench.py
-if ! run_step bs32 1800 BENCH_BS=32 BENCH_RNG=rbg BENCH_DEC_MSDA=dense_fused python bench.py; then
-  run_step bs32r 2400 BENCH_BS=32 BENCH_REMAT=1 BENCH_RNG=rbg BENCH_DEC_MSDA=dense_fused python bench.py
+run_step base 1800 python bench.py
+run_step rbg  1800 BENCH_RNG=rbg python bench.py
+if ! run_step bs32 1800 BENCH_BS=32 BENCH_RNG=rbg python bench.py; then
+  run_step bs32r 2400 BENCH_BS=32 BENCH_REMAT=1 BENCH_RNG=rbg python bench.py
 fi
 
 echo "=== clamp validation ($(date +%H:%M:%S)) ==="
 timeout 5400 python tools/validate_clamp.py > /tmp/sprint3_clamp.log 2>&1
 echo "validate_clamp rc=$?" >> "$S"
 tail -5 /tmp/sprint3_clamp.log
+
+run_step trace 2400 BENCH_RNG=rbg python tools/profile_step.py --steps 3
 
 echo "=== sprint3 done ==="
 cat "$S"

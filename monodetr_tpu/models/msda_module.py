@@ -143,6 +143,17 @@ class MSDeformAttn(nn.Module):
                 value, tuple(spatial_shapes), loc,
                 attn.astype(jnp.float32), self.window
             ).astype(self.dtype)
+        elif self.impl == "sepwin":
+            # same clamped-window semantics as "pallas"; semi-separable MXU
+            # kernel (ops/msda_sepwin_pallas.py)
+            assert reference_points.shape[-1] == 2 and Q == S, (
+                "sepwin MSDA needs grid queries (encoder self-attention)")
+            from ..ops.msda_sepwin_pallas import ms_deform_attn_sepwin
+
+            out = ms_deform_attn_sepwin(
+                value, tuple(spatial_shapes), loc,
+                attn.astype(jnp.float32), self.window
+            ).astype(self.dtype)
         elif self.impl == "dense":
             from ..ops.msda import ms_deform_attn_dense
 

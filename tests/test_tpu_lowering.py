@@ -15,9 +15,12 @@ import numpy as np
 import pytest
 
 import monodetr_tpu.ops as ops_pkg
-from monodetr_tpu.ops import attention_pallas, lap_pallas, msda_dense_pallas, msda_pallas
+from monodetr_tpu.ops import (attention_pallas, lap_pallas,
+                              msda_dense_pallas, msda_pallas,
+                              msda_sep_pallas, msda_sepwin_pallas)
 
-PALLAS_MODULES = (attention_pallas, lap_pallas, msda_dense_pallas, msda_pallas)
+PALLAS_MODULES = (attention_pallas, lap_pallas, msda_dense_pallas,
+                  msda_pallas, msda_sep_pallas, msda_sepwin_pallas)
 
 SHAPES = ((48, 160), (24, 80), (12, 40), (6, 20))
 S = sum(h * w for h, w in SHAPES)
@@ -70,6 +73,20 @@ def test_dense_fused_lowers_for_tpu():
     _export_tpu(jax.grad(loss, argnums=(0, 1, 2)), value, loc, att)
 
 
+def test_sep_pallas_lowers_for_tpu():
+    Q = 550
+    rng = np.random.RandomState(0)
+    value = jnp.asarray(rng.randn(B, S, H, D), jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(B, Q, H, L, P, 2), jnp.float32)
+    att = jnp.asarray(rng.rand(B, Q, H, L, P), jnp.float32)
+
+    def loss(v, l, a):
+        out = msda_sep_pallas.ms_deform_attn_sep(v, SHAPES, l, a)
+        return out.astype(jnp.float32).sum()
+
+    _export_tpu(jax.grad(loss, argnums=(0, 1, 2)), value, loc, att)
+
+
 def test_windowed_pallas_lowers_for_tpu():
     rng = np.random.RandomState(0)
     value = jnp.asarray(rng.randn(B, S, H, D), jnp.bfloat16)
@@ -78,6 +95,19 @@ def test_windowed_pallas_lowers_for_tpu():
 
     def loss(v, l, a):
         out = msda_pallas.ms_deform_attn_pallas(v, SHAPES, l, a, 8)
+        return out.astype(jnp.float32).sum()
+
+    _export_tpu(jax.grad(loss, argnums=(0, 1, 2)), value, loc, att)
+
+
+def test_sepwin_pallas_lowers_for_tpu():
+    rng = np.random.RandomState(0)
+    value = jnp.asarray(rng.randn(B, S, H, D), jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(B, S, H, L, P, 2), jnp.float32)
+    att = jnp.asarray(rng.rand(B, S, H, L, P), jnp.float32)
+
+    def loss(v, l, a):
+        out = msda_sepwin_pallas.ms_deform_attn_sepwin(v, SHAPES, l, a, 8)
         return out.astype(jnp.float32).sum()
 
     _export_tpu(jax.grad(loss, argnums=(0, 1, 2)), value, loc, att)

@@ -90,7 +90,7 @@ class MSDeformAttn(nn.Module):
         # margin (0.75 * lim) so every point starts with a live location
         # gradient; exact-semantics gather keeps the reference radii
         max_r = None
-        if self.impl in ("pallas", "windowed"):
+        if self.impl in ("pallas", "sepwin", "windowed"):
             max_r = 0.75 * (self.window / 2 - 1)
         offsets = nn.Dense(
             H * L * P * 2,

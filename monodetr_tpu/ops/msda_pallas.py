@@ -56,9 +56,9 @@ def _interpret():
 # --------------------------------------------------------------------------
 
 def _tile_for_level(hq, wq):
-    """Query tile (th, tw) per level.  Capped at (8, 16) = 128 queries so the
-    per-tile W2 matrix and strips stay well inside scoped VMEM (measured:
-    (16, 32) tiles at the reference pyramid need ~36 MB > the 16 MB limit)."""
+    """Default query tile (th, tw) per level (the conservative floor; the
+    geometry search in _geometry prefers larger candidates from
+    _tile_candidates when they fit the VMEM budget)."""
     th = max(2, min(8, hq // 3))
     tw = max(4, min(16, wq // 5))
     while hq % th:
@@ -66,6 +66,33 @@ def _tile_for_level(hq, wq):
     while wq % tw:
         tw -= 1
     return th, tw
+
+
+def _tile_candidates(hq, wq):
+    """Candidate query tiles, best first.
+
+    Strip extents carry a fixed ~G+2+alignment overhead per tile axis, so
+    larger tiles amortize both that overhead and the ~20 us fixed cost per
+    kernel invocation (measured: the four per-level backward calls cost
+    17.4/6.0/5.7/5.1 ms at 960/240/240/240 invocations — near-constant
+    per-invocation).  Prefer the largest T <= 256 with the least lane
+    padding (T is the lane dim of the [SP, T] weight build; lanes pad to
+    multiples of 128).  _geometry takes the first candidate whose strips
+    fit VMEM_BUDGET."""
+    cands = []
+    for th in range(1, min(hq, 16) + 1):
+        if hq % th:
+            continue
+        for tw in range(1, min(wq, 32) + 1):
+            if wq % tw:
+                continue
+            T = th * tw
+            if T > 256:
+                continue
+            tpad = max(128, -(-T // 128) * 128)
+            cands.append((T * T / tpad, T, th, tw))
+    cands.sort(key=lambda c: (-c[0], -c[1], abs(c[2] - c[3] // 2)))
+    return [(th, tw) for _, T, th, tw in cands]
 
 
 def _anchor0_fn(n_tile, nq, nv):
@@ -87,12 +114,11 @@ def _strip_extent(n_tile, nq, nv, G):
     return span + G + 2
 
 
-VMEM_BUDGET = 11 * 1024 * 1024  # conservative per-tile scratch target
+VMEM_BUDGET = 13 * 1024 * 1024  # conservative per-tile scratch target
 
 
 def _geometry(spatial_shapes, lq, G):
     hq, wq = spatial_shapes[lq]
-    th, tw = _tile_for_level(hq, wq)
 
     def build(th, tw):
         geom = []
@@ -119,8 +145,14 @@ def _geometry(spatial_shapes, lq, G):
 
     # Larger query levels at larger pyramids pull proportionally larger
     # cross-level strips (observed: 2x-resolution level-2 tiles need ~19 MB
-    # > the 16 MB scoped-vmem limit); shrink the tile until the estimate
-    # fits the budget.
+    # > the 16 MB scoped-vmem limit); take the best tile candidate whose
+    # strip estimate fits the budget.
+    for th, tw in _tile_candidates(hq, wq):
+        geom = build(th, tw)
+        if vmem_est(geom, th * tw) <= VMEM_BUDGET:
+            return (th, tw), geom
+    # fallback: the conservative floor, budget-shrunk the old way
+    th, tw = _tile_for_level(hq, wq)
     geom = build(th, tw)
     while vmem_est(geom, th * tw) > VMEM_BUDGET and (th > 2 or tw > 4):
         if tw > 4:

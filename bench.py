@@ -62,8 +62,9 @@ def main():
     H, W, T = 384, 1280, 50
     # bf16 compute + remat: the TPU fast path (fp32 master params)
     enc_impl = os.environ.get("BENCH_MSDA", "pallas")  # pallas | sepwin
+    window = int(os.environ.get("BENCH_WINDOW", 8))  # windowed clamp G
     model = MonoDETR(dtype=jnp.bfloat16, remat=remat, msda_impl=enc_impl,
-                     dec_msda_impl=dec_impl)
+                     msda_window=window, dec_msda_impl=dec_impl)
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
 
     rng = np.random.RandomState(0)

@@ -24,6 +24,48 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class StemConv(nn.Module):
+    """The 7x7/s2 stem conv, computed as a 4x4/s1 conv on space-to-depth(2)
+    input (the MLPerf-ResNet TPU stem transform).
+
+    A 3-input-channel 7x7 conv leaves the MXU almost empty (K = 3 per tap);
+    packing 2x2 pixel patches into channels gives an EXACTLY equivalent
+    conv with 12 input channels and a 4x4 kernel:
+        out[i,j] = sum_{u,v} W[u,v] x[2i+u-3, 2j+v-3]
+                 = sum_{p,q,a,b} W8[2p+a, 2q+b] X[i+p-2, j+q-2, (a,b,:)]
+    with W8 = W zero-padded by one row/col at the top-left.  The parameter
+    keeps the reference's [7, 7, 3, 64] layout (checkpoint converters and
+    from-scratch init are unchanged); the rearrangement happens at trace
+    time on the weight (fused/constant-sized, never on activations)."""
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in",
+                                             "truncated_normal"),
+            (7, 7, cin, self.features),
+        )
+        k8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, cin, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * cin, self.features)
+
+        B, H, W, C = x.shape
+        assert H % 2 == 0 and W % 2 == 0, "stem needs even input dims"
+        xs = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        import jax.lax as lax
+
+        return lax.conv_general_dilated(
+            xs.astype(self.dtype), k4.astype(self.dtype), (1, 1),
+            ((2, 1), (2, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class FrozenBN(nn.Module):
     """Per-channel affine with constant (non-trained) scale/bias."""
 
@@ -92,10 +134,7 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x):
         blocks = STAGE_BLOCKS[self.name_or_depth]
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        x = StemConv(64, dtype=self.dtype, name="conv1")(x)
         x = FrozenBN(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

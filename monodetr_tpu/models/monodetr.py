@@ -58,6 +58,7 @@ class MonoDETR(nn.Module):
     #   True/"all"   — both (the 2x-resolution stress path).
     remat: Any = False
     msda_impl: str = "gather"  # encoder MSDA kernel: gather | pallas | windowed
+    msda_window: int = 8  # clamp window G for windowed encoder impls
     dec_msda_impl: str = "sep"  # decoder cross-attn MSDA: sep (exact, MXU Pallas) | dense | gather
 
     def _remat_in(self, scope):
@@ -118,6 +119,7 @@ class MonoDETR(nn.Module):
             dtype=self.dtype,
             remat=self._remat_in("encoder"),
             msda_impl=self.msda_impl,
+            msda_window=self.msda_window,
             dec_msda_impl=self.dec_msda_impl,
             name="transformer",
         )
@@ -353,5 +355,6 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         dtype=jnp.bfloat16 if cfg.get("dtype", "float32") in ("bf16", "bfloat16") else jnp.float32,
         remat=cfg.get("remat", False),
         msda_impl=cfg.get("msda_impl", "gather"),
+        msda_window=cfg.get("msda_window", 8),
         dec_msda_impl=cfg.get("dec_msda_impl", "sep"),
     )

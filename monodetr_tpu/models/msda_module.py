@@ -92,7 +92,7 @@ class MSDeformAttn(nn.Module):
         max_r = None
         if self.impl in ("pallas", "sepwin", "windowed"):
             max_r = 0.75 * (self.window / 2 - 1)
-        offsets = nn.Dense(
+        offsets_flat = nn.Dense(
             H * L * P * 2,
             dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
@@ -100,7 +100,7 @@ class MSDeformAttn(nn.Module):
                 _offset_bias_init(H, L, P, max_r), dtype
             ),
             name="sampling_offsets",
-        )(query).reshape(B, Q, H, L, P, 2)
+        )(query)
 
         attn = nn.Dense(
             H * L * P,
@@ -110,6 +110,36 @@ class MSDeformAttn(nn.Module):
             name="attention_weights",
         )(query).reshape(B, Q, H, L * P)
         attn = nn.softmax(attn, axis=-1).reshape(B, Q, H, L, P)
+
+        if self.impl == "pallas":
+            # packed fast path: for grid queries the offset normalization
+            # and the level rescale cancel (loc * (w,h) - 0.5 == center +
+            # offset_px), so the window clamp is per-lane affine math on
+            # [B, S, 128] — the inflated [B, S, H, L, P, 2] f32 arrays of
+            # the loc-based route (~210 MB each at bench shapes, several
+            # HBM passes per layer per direction) never materialize.
+            assert reference_points.shape[-1] == 2 and Q == S, (
+                "pallas MSDA needs grid queries (encoder self-attention)")
+            from ..ops.msda_pallas import (center_lane_tables,
+                                           ms_deform_attn_pallas_packed,
+                                           offset_lane_perm)
+
+            lim = self.window / 2 - 1 - 1e-2
+            cx, cy = center_lane_tables(tuple(spatial_shapes))
+            offp = offsets_flat[..., offset_lane_perm(H, L, P)]
+            fx = jnp.clip(cx[None] + offp[..., :128],
+                          cx[None] - lim, cx[None] + lim)
+            fy = jnp.clip(cy[None] + offp[..., 128:],
+                          cy[None] - lim, cy[None] + lim)
+            att_l = jnp.transpose(attn, (0, 1, 3, 2, 4)).reshape(B, Q, 128)
+            out = ms_deform_attn_pallas_packed(
+                value, tuple(spatial_shapes), fx, fy, att_l, self.window
+            ).astype(self.dtype)
+            out = checkpoint_name(out, "msda_sampled")
+            return nn.Dense(self.d_model, dtype=self.dtype,
+                            name="output_proj")(out)
+
+        offsets = offsets_flat.reshape(B, Q, H, L, P, 2)
 
         if reference_points.shape[-1] == 2:
             # offsets normalized by each level's (w, h)
@@ -134,16 +164,7 @@ class MSDeformAttn(nn.Module):
         else:
             raise ValueError("reference_points last dim must be 2 or 6")
 
-        if self.impl == "pallas":
-            assert reference_points.shape[-1] == 2 and Q == S, (
-                "pallas MSDA needs grid queries (encoder self-attention)")
-            from ..ops.msda_pallas import ms_deform_attn_pallas
-
-            out = ms_deform_attn_pallas(
-                value, tuple(spatial_shapes), loc,
-                attn.astype(jnp.float32), self.window
-            ).astype(self.dtype)
-        elif self.impl == "sepwin":
+        if self.impl == "sepwin":
             # same clamped-window semantics as "pallas"; semi-separable MXU
             # kernel (ops/msda_sepwin_pallas.py)
             assert reference_points.shape[-1] == 2 and Q == S, (

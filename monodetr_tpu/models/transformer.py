@@ -107,12 +107,14 @@ class VisualEncoderLayer(nn.Module):
     n_points: int = 4
     dtype: Any = jnp.float32
     msda_impl: str = "gather"
+    msda_window: int = 8  # windowed-impl clamp extent (G)
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes, deterministic=True):
         src2 = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, impl=self.msda_impl, name="self_attn",
+            dtype=self.dtype, impl=self.msda_impl, window=self.msda_window,
+            name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes)
         src = src + nn.Dropout(self.dropout)(src2, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
@@ -214,6 +216,7 @@ class DepthAwareTransformer(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     msda_impl: str = "gather"  # encoder self-attn kernel (see MSDeformAttn)
+    msda_window: int = 8  # clamp window G for windowed encoder impls
     dec_msda_impl: str = "sep"  # decoder cross-attn kernel (exact; MXU Pallas)
 
     @nn.compact
@@ -271,6 +274,7 @@ class DepthAwareTransformer(nn.Module):
                 self.d_model, self.dim_feedforward, self.dropout,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
                 dtype=self.dtype, msda_impl=self.msda_impl,
+                msda_window=self.msda_window,
                 name=f"encoder_layer_{i}",
             )(memory, pos_flat, enc_ref, spatial_shapes, deterministic)
 

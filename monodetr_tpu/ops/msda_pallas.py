@@ -622,3 +622,39 @@ def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
     fx, fy, att = _pack(spatial_shapes, sampling_locations,
                         attention_weights, window)
     return _msda_packed(value, tuple(spatial_shapes), fx, fy, att, window)
+
+
+def center_lane_tables(spatial_shapes):
+    """Static per-lane center tables CX, CY [S, 128] (f32): the query's
+    center-sample position in each sampled level's pixel coords, broadcast
+    over the (head, point) lanes (lane = lv*32 + h*4 + p)."""
+    centers = _center_positions(spatial_shapes)  # [S, L, 2]
+    cx = jnp.repeat(centers[:, :, 0], 32, axis=1)
+    cy = jnp.repeat(centers[:, :, 1], 32, axis=1)
+    return cx, cy
+
+
+def offset_lane_perm(n_heads=8, n_levels=4, n_points=4):
+    """Static permutation taking the sampling_offsets projection's flat
+    output (feature order (h, lv, p, xy), ms_deform_attn.py:107-114) to
+    [x-lanes | y-lanes] in kernel lane order (lv, h, p)."""
+    idx = np.arange(n_heads * n_levels * n_points * 2).reshape(
+        n_heads, n_levels, n_points, 2)
+    lanes = np.transpose(idx, (1, 0, 2, 3)).reshape(-1, 2)  # (lv, h, p)
+    return np.concatenate([lanes[:, 0], lanes[:, 1]])
+
+
+def ms_deform_attn_pallas_packed(value, spatial_shapes, fx, fy, att,
+                                 window: int = 8):
+    """Packed-operand entry: fx/fy/att are [B, S, 128] f32 in kernel lane
+    order (lv*32 + h*4 + p), fx/fy in sampled-level pixel coords ALREADY
+    clamped to +-(window/2-1) px around the static centers
+    (center_lane_tables).  Skips the [B, S, H, L, P, 2] materialization of
+    the loc-based entry: for grid queries the offset normalization and the
+    level rescale cancel (loc*wh - 0.5 == center + offset_px), so callers
+    can build the packed coords straight from the offset projection with
+    per-lane affine math.  Gradients flow to value, fx, fy, att."""
+    assert fx.shape == fy.shape == att.shape and fx.shape[-1] == 128
+    return _msda_packed(value, tuple(spatial_shapes), fx.astype(jnp.float32),
+                        fy.astype(jnp.float32), att.astype(jnp.float32),
+                        window)

@@ -35,6 +35,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 A100_REF_IMG_PER_SEC = 55.0
+# v5e bf16 dense peak (for the MFU line; the chip this runs on)
+TPU_PEAK_FLOPS = 197e12
+
+
+def bench_env():
+    """Parse the BENCH_* env overrides (tools/tpu_sprint*.sh sweeps).
+
+    Shared by bench.py and tools/profile_step.py so a trace always matches
+    the bench configuration being profiled.  Defaults = the shipped config,
+    so the driver's bare `python bench.py` is unaffected.
+    """
+    remat = os.environ.get("BENCH_REMAT", "0")  # 0|1|backbone|encoder|all
+    remat = {"0": False, "1": True}.get(remat, remat)
+    # dropout-mask PRNG: 'rbg' (TPU-native generator, cheap; shipped
+    # default after the round-3 A/B) vs 'threefry' (jax default, exact but
+    # VPU-heavy at [B,S,256]-sized masks).  No parity constraint on dropout
+    # bit patterns — the reference streams torch RNG.
+    rng_impl = os.environ.get("BENCH_RNG", "rbg")
+    if rng_impl == "threefry":  # forgiving alias for the jax impl name
+        rng_impl = "threefry2x32"
+    return {
+        "batch": int(os.environ.get("BENCH_BS", 16)),
+        "rng_impl": rng_impl,
+        "model_kwargs": dict(
+            remat=remat,
+            msda_impl=os.environ.get("BENCH_MSDA", "pallas"),  # pallas|sepwin|windowed|gather
+            msda_window=int(os.environ.get("BENCH_WINDOW", 8)),
+            dec_msda_impl=os.environ.get("BENCH_DEC_MSDA", "sep"),
+        ),
+    }
 
 
 def main():
@@ -46,25 +76,12 @@ def main():
     from monodetr_tpu.train.optimizer import build_optimizer
     from monodetr_tpu.train.train_step import make_train_step
 
-    # env overrides for perf sweeps (tools/tpu_sprint.sh); defaults = the
-    # shipped config, so the driver's bare `python bench.py` is unaffected
-    B = int(os.environ.get("BENCH_BS", 16))
-    dec_impl = os.environ.get("BENCH_DEC_MSDA", "sep")
-    remat = os.environ.get("BENCH_REMAT", "0")  # 0|1|backbone|encoder|all
-    remat = {"0": False, "1": True}.get(remat, remat)
-    # dropout-mask PRNG: 'threefry' (jax default, exact but VPU-heavy at
-    # [B,S,256]-sized masks) vs 'rbg' (TPU-native generator, much cheaper;
-    # no parity constraint on dropout bit patterns — the reference streams
-    # torch RNG).  Default stays threefry until the on-chip A/B runs.
-    rng_impl = os.environ.get("BENCH_RNG", "rbg")  # shipped default
-    if rng_impl == "threefry":  # forgiving alias for the jax impl name
-        rng_impl = "threefry2x32"
+    env = bench_env()
+    B = env["batch"]
+    rng_impl = env["rng_impl"]
     H, W, T = 384, 1280, 50
     # bf16 compute + remat: the TPU fast path (fp32 master params)
-    enc_impl = os.environ.get("BENCH_MSDA", "pallas")  # pallas | sepwin
-    window = int(os.environ.get("BENCH_WINDOW", 8))  # windowed clamp G
-    model = MonoDETR(dtype=jnp.bfloat16, remat=remat, msda_impl=enc_impl,
-                     msda_window=window, dec_msda_impl=dec_impl)
+    model = MonoDETR(dtype=jnp.bfloat16, **env["model_kwargs"])
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
 
     rng = np.random.RandomState(0)
@@ -114,11 +131,24 @@ def main():
         return _timed_loop(jax, train_step, params, opt_state, batch, lr, key, B)
 
     try:
-        img_per_sec = run(donate=True)
+        runs = run(donate=True)
     except Exception:
         # donated-buffer chains can be unreliable through remote relays;
         # fall back to the non-donated step
-        img_per_sec = run(donate=False)
+        runs = run(donate=False)
+    img_per_sec = float(np.median(runs))
+
+    # MFU: XLA's own per-step FLOP count (cost_analysis of the compiled
+    # train step) against the chip's dense bf16 peak.  Falls back to the
+    # analytical ~450 GFLOP/img estimate if the platform won't report it.
+    try:
+        compiled = make_train_step(
+            model, crit, step_fn, donate=False
+        ).jitted.lower(params, opt_state, batch, lr, key).compile()
+        flops_per_step = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_step = 450e9 * B
+    mfu = img_per_sec / B * flops_per_step / TPU_PEAK_FLOPS
 
     print(
         json.dumps(
@@ -127,6 +157,9 @@ def main():
                 "value": round(img_per_sec, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_sec / A100_REF_IMG_PER_SEC, 3),
+                "runs": [round(r, 2) for r in runs],
+                "flops_per_img": round(flops_per_step / B / 1e9, 1),
+                "mfu": round(mfu, 4),
             }
         )
     )
@@ -150,14 +183,19 @@ def _timed_loop(jax, train_step, params, opt_state, batch, lr, key, B):
         p, s, losses = train_step(p, s, batch, lr, sub)
     _ = float(losses["loss_detr"])
 
-    iters = 12
-    t0 = time.perf_counter()
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        p, s, losses = train_step(p, s, batch, lr, sub)
-    _ = float(losses["loss_detr"])
-    dt = (time.perf_counter() - t0) / iters
-    return B / dt
+    # 3 independent windows -> median + per-run spread in the JSON line
+    # (quantifies the run-to-run variance the single-window bench hid)
+    rates = []
+    for _ in range(3):
+        iters = 12
+        t0 = time.perf_counter()
+        for i in range(iters):
+            key, sub = jax.random.split(key)
+            p, s, losses = train_step(p, s, batch, lr, sub)
+        _ = float(losses["loss_detr"])
+        dt = (time.perf_counter() - t0) / iters
+        rates.append(B / dt)
+    return rates
 
 
 if __name__ == "__main__":

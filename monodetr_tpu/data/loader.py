@@ -26,7 +26,18 @@ import numpy as np
 # function is module-level so only its qualified name + an int index cross
 # the task pipe (the bound method `dataset.__getitem__` would re-pickle the
 # whole dataset per map call).
+#
+# Fork-after-JAX hazard: worker_mode='process' forks from a process that is
+# already multithreaded (the JAX/TPU runtime plus this loader's producer
+# threads), and fork() only survives the calling thread — a child forked
+# while another thread holds an internal lock can deadlock.  The children
+# here only run numpy/PIL dataset code (never JAX), which keeps the window
+# small but not zero; prefer 'thread' (the default) unless host-side python
+# demonstrably caps throughput on a many-core machine (PERF.md "Loader
+# worker modes").  _PROC_LOCK serializes pool creation so two loaders can't
+# clobber each other's _PROC_DATASET between publish and fork.
 _PROC_DATASET = None
+_PROC_LOCK = threading.Lock()
 
 
 def _proc_init(counter, base_seed):
@@ -150,11 +161,12 @@ class DataLoader:
 
         if self.worker_mode == "process":
             global _PROC_DATASET
-            _PROC_DATASET = self.dataset
-            ctx = multiprocessing.get_context("fork")
-            counter = ctx.Value("i", 0)
-            pool = ctx.Pool(self.num_workers, initializer=_proc_init,
-                            initargs=(counter, self.seed + self.epoch))
+            with _PROC_LOCK:
+                _PROC_DATASET = self.dataset
+                ctx = multiprocessing.get_context("fork")
+                counter = ctx.Value("i", 0)
+                pool = ctx.Pool(self.num_workers, initializer=_proc_init,
+                                initargs=(counter, self.seed + self.epoch))
             fetch = lambda idxs: pool.map(_proc_get, idxs)
             shutdown = pool.terminate
         else:
@@ -194,8 +206,11 @@ def build_dataloader(cfg: Dict[str, Any], workers: int = 4,
                      process_shard=None):
     """(train_loader, test_loader) — dataloader_helper.build_dataloader.
 
-    process_shard: forwarded to DataLoader for multi-host DP (each host
-    loads its slice of every global batch)."""
+    process_shard: forwarded to the TRAIN DataLoader for multi-host DP
+    (each host loads its slice of every global batch).  The test loader is
+    never sharded: evaluation runs on process 0 only (reference
+    is_main_process semantics — trainer/tester gate writes and eval), so
+    process 0 must see the whole val set."""
     from .kitti_dataset import KITTIDataset
 
     worker_mode = cfg.get("worker_mode", "thread")
@@ -208,7 +223,6 @@ def build_dataloader(cfg: Dict[str, Any], workers: int = 4,
     )
     test_loader = DataLoader(
         test_set, batch_size=cfg["batch_size"], shuffle=False,
-        num_workers=workers, process_shard=process_shard,
-        worker_mode=worker_mode,
+        num_workers=workers, worker_mode=worker_mode,
     )
     return train_loader, test_loader

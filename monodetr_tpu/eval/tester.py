@@ -17,6 +17,7 @@ import numpy as np
 
 from ..data.kitti_utils import Calibration
 from ..train.checkpoint import load_checkpoint
+from ..utils.misc import is_main_process
 from .decode import decode_detections, extract_dets_from_outputs, save_results
 
 
@@ -131,11 +132,22 @@ class Tester:
         self.save_results(results)
         return results
 
-    def save_results(self, results, output_dir="./outputs"):
-        output_dir = os.path.join(output_dir, self.model_name, "data")
-        save_results(results, output_dir)
+    @property
+    def results_dir(self):
+        # under the run dir like the reference (tester_helper.py:113:
+        # <save_path>/<model_name>/outputs/data), so a non-default
+        # save_path keeps checkpoints and result txts together
+        return os.path.join(self.output_dir, "outputs", "data")
+
+    def save_results(self, results):
+        if not is_main_process():
+            # multi-host: result txts are written once, by process 0
+            # (reference save_on_master semantics, utils/misc.py:404-407)
+            return
+        save_results(results, self.results_dir)
 
     def evaluate(self):
-        results_dir = os.path.join("./outputs", self.model_name, "data")
-        assert os.path.exists(results_dir)
-        return self.dataloader.dataset.eval(results_dir=results_dir, logger=self.logger)
+        if not is_main_process():
+            return 0.0
+        assert os.path.exists(self.results_dir)
+        return self.dataloader.dataset.eval(results_dir=self.results_dir, logger=self.logger)

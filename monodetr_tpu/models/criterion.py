@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import box_ops
-from ..ops.utils import bin_depths_lid
+from ..ops.utils import bin_depths
 from .matcher import hungarian_match
 
 
@@ -155,7 +155,7 @@ def loss_angles(outputs, targets, matched_q, num_boxes):
 
 def loss_depth_map(outputs, targets, fg_weight=13.0, bg_weight=1.0,
                    alpha=0.25, gamma=2.0, depth_min=1e-3, depth_max=60.0,
-                   num_bins=80, raster_wh=None):
+                   num_bins=80, raster_wh=None, bin_mode="LID"):
     """DDN depth-map loss (ddn_loss/ddn_loss.py + balancer.py + focalloss.py).
 
     Targets: per-pixel depth of the *nearest* valid box covering the pixel
@@ -199,7 +199,7 @@ def loss_depth_map(outputs, targets, fg_weight=13.0, bg_weight=1.0,
     fg_mask = cover.any(axis=1)  # [B, H, W]
     pix_depth = jnp.where(fg_mask, pix_depth, 0.0)
 
-    tgt_bin = bin_depths_lid(pix_depth, depth_min, depth_max, num_bins)  # [B,H,W]
+    tgt_bin = bin_depths(pix_depth, bin_mode, depth_min, depth_max, num_bins)  # [B,H,W]
 
     logp = jax.nn.log_softmax(logits, axis=-1)
     p = jnp.exp(logp)
@@ -235,6 +235,11 @@ class SetCriterion:
         # Set to (80, 24) to reproduce the reference's hardcoded constant
         # (monodetr.py:452) at non-default input resolutions.
         self.depth_map_raster_wh = cfg.get("depth_map_raster_wh")
+        # depth-map target discretization: UD | LID | SID (ddn_loss.py:82-91).
+        # The reference config carries `model.mode: LID` but never reads it
+        # (DDNLoss.forward uses the LID default); here the key is wired
+        # through so all three bin_depths modes are reachable from config.
+        self.depth_bin_mode = cfg.get("depth_bin_mode", cfg.get("mode", "LID"))
 
         base = {
             "loss_ce": cfg.get("cls_loss_coef", 2),
@@ -303,6 +308,7 @@ class SetCriterion:
                 depth_min=self.depth_min, depth_max=self.depth_max,
                 num_bins=self.num_depth_bins,
                 raster_wh=self.depth_map_raster_wh,
+                bin_mode=self.depth_bin_mode,
             )
         )
         return losses

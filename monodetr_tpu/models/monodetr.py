@@ -62,10 +62,14 @@ class MonoDETR(nn.Module):
     dec_msda_impl: str = "sep"  # decoder cross-attn MSDA: sep (exact, MXU Pallas) | dense | gather
 
     def _remat_in(self, scope):
-        r = {False: (), "none": (), "backbone": ("backbone",),
-             "encoder": ("encoder",), True: ("backbone", "encoder"),
-             "all": ("backbone", "encoder")}[self.remat]
-        return scope in r
+        table = {False: (), "none": (), "backbone": ("backbone",),
+                 "encoder": ("encoder",), True: ("backbone", "encoder"),
+                 "all": ("backbone", "encoder")}
+        if self.remat not in table:
+            raise ValueError(
+                f"remat={self.remat!r}; expected one of "
+                "False/'none', 'backbone', 'encoder', True/'all'")
+        return scope in table[self.remat]
 
     def setup(self):
         if self.position_embedding in ("v3", "learned"):

@@ -118,6 +118,15 @@ class MSDeformAttn(nn.Module):
             # [B, S, 128] — the inflated [B, S, H, L, P, 2] f32 arrays of
             # the loc-based route (~210 MB each at bench shapes, several
             # HBM passes per layer per direction) never materialize.
+            # GRID-CENTERS ASSUMPTION: this path derives sampling centers
+            # from spatial_shapes alone and never reads reference_points —
+            # valid because the encoder's reference points ARE the static
+            # per-level pixel-center grid (depthaware_transformer.py:357-384)
+            # and this model has no padding masks (valid_ratios == 1, so the
+            # x valid_ratios rescale is identity).  Any future caller with
+            # Q == S but non-grid refs (e.g. if padding masks are added)
+            # MUST use impl='windowed'/'gather' instead; the shape assert
+            # below cannot catch that case.
             assert reference_points.shape[-1] == 2 and Q == S, (
                 "pallas MSDA needs grid queries (encoder self-attention)")
             from ..ops.msda_pallas import (center_lane_tables,

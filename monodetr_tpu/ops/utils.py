@@ -85,16 +85,35 @@ def lid_bin_values(num_bins, depth_min, depth_max):
     return np.concatenate([vals, [depth_max]]).astype(np.float32)
 
 
-def bin_depths_lid(depth_map, depth_min=1e-3, depth_max=60.0, num_bins=80):
-    """Depth map -> LID bin indices, out-of-range/NaN -> num_bins.
+def bin_depths(depth_map, mode="LID", depth_min=1e-3, depth_max=60.0,
+               num_bins=80):
+    """Depth map -> bin indices, out-of-range/NaN -> num_bins.
 
-    Matches ddn_loss.py:66-102 (mode='LID', target=True).
+    Matches ddn_loss.py:66-102 (target=True) for all three discretization
+    modes (arxiv 2005.13423):
+      UD  — uniform bins,
+      LID — linearly increasing bin widths,
+      SID — log-spaced (spacing-increasing) bins.
     """
-    bin_size = 2 * (depth_max - depth_min) / (num_bins * (1 + num_bins))
-    indices = -0.5 + 0.5 * jnp.sqrt(1 + 8 * (depth_map - depth_min) / bin_size)
+    if mode == "UD":
+        bin_size = (depth_max - depth_min) / num_bins
+        indices = (depth_map - depth_min) / bin_size
+    elif mode == "LID":
+        bin_size = 2 * (depth_max - depth_min) / (num_bins * (1 + num_bins))
+        indices = -0.5 + 0.5 * jnp.sqrt(1 + 8 * (depth_map - depth_min) / bin_size)
+    elif mode == "SID":
+        indices = (num_bins * (jnp.log(1 + depth_map) - math.log(1 + depth_min))
+                   / (math.log(1 + depth_max) - math.log(1 + depth_min)))
+    else:
+        raise NotImplementedError(f"bin_depths mode {mode!r}")
     invalid = (indices < 0) | (indices > num_bins) | ~jnp.isfinite(indices)
     indices = jnp.where(invalid, num_bins, indices)
     return indices.astype(jnp.int32)
+
+
+def bin_depths_lid(depth_map, depth_min=1e-3, depth_max=60.0, num_bins=80):
+    """Depth map -> LID bin indices (ddn_loss.py mode='LID', target=True)."""
+    return bin_depths(depth_map, "LID", depth_min, depth_max, num_bins)
 
 
 def sine_position_encoding(h, w, num_pos_feats=128, temperature=10000.0,

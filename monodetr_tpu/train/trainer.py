@@ -21,6 +21,7 @@ from .checkpoint import (get_checkpoint_state, load_checkpoint, merge_params,
 from .optimizer import build_optimizer
 from .scheduler import lr_at_epoch
 from .train_step import make_train_step
+from ..utils.misc import is_main_process
 
 BATCH_KEYS = (
     "images", "calibs", "img_sizes", "labels", "boxes", "boxes_3d", "depth",
@@ -101,44 +102,61 @@ class Trainer:
             self.epoch += 1
 
             if (self.epoch % self.cfg.get("save_frequency", 1)) == 0:
-                os.makedirs(self.output_dir, exist_ok=True)
-                if self.cfg.get("save_all", False):
-                    ckpt_name = os.path.join(
-                        self.output_dir, "checkpoint_epoch_%d" % self.epoch
-                    )
-                else:
-                    ckpt_name = os.path.join(self.output_dir, "checkpoint")
-                save_checkpoint(
-                    get_checkpoint_state(
-                        self.params, self.opt_state, self.epoch,
-                        best_result, best_epoch,
-                    ),
-                    ckpt_name,
-                )
-                if self.tester is not None:
-                    self.logger.info("Test Epoch {}".format(self.epoch))
-                    self.tester.params = self.params
-                    self.tester.inference()
-                    cur_result = self.tester.evaluate()
-                    if cur_result > best_result:
-                        best_result = cur_result
-                        best_epoch = self.epoch
-                        save_checkpoint(
-                            get_checkpoint_state(
-                                self.params, self.opt_state, self.epoch,
-                                best_result, best_epoch,
-                            ),
-                            os.path.join(self.output_dir, "checkpoint_best"),
-                        )
-                    self.logger.info(
-                        "Best Result:{}, epoch:{}".format(best_result, best_epoch)
-                    )
+                best_result, best_epoch = self._save_and_eval_epoch(
+                    best_result, best_epoch)
 
         self.best_result = best_result
         self.best_epoch = best_epoch
         self.logger.info(
             "Best Result:{}, epoch:{}".format(best_result, best_epoch)
         )
+
+    def _save_and_eval_epoch(self, best_result, best_epoch):
+        """Checkpoint save + in-loop eval for the current epoch.
+
+        Writes and eval happen once, on process 0 only (reference
+        save_on_master/is_main_process, utils/misc.py:381-432; SURVEY §5.8).
+        Non-main processes return immediately and block at their first
+        collective of the next epoch until process 0 catches up."""
+        if not is_main_process():
+            return best_result, best_epoch
+        os.makedirs(self.output_dir, exist_ok=True)
+        if self.cfg.get("save_all", False):
+            ckpt_name = os.path.join(
+                self.output_dir, "checkpoint_epoch_%d" % self.epoch
+            )
+        else:
+            ckpt_name = os.path.join(self.output_dir, "checkpoint")
+        save_checkpoint(
+            get_checkpoint_state(
+                self.params, self.opt_state, self.epoch,
+                best_result, best_epoch,
+            ),
+            ckpt_name,
+        )
+        if self.tester is not None:
+            self.logger.info("Test Epoch {}".format(self.epoch))
+            # multi-host: params are replicated global arrays; pull a
+            # host-local copy so the tester's single-device jit works
+            self.tester.params = (
+                jax.device_get(self.params)
+                if jax.process_count() > 1 else self.params)
+            self.tester.inference()
+            cur_result = self.tester.evaluate()
+            if cur_result > best_result:
+                best_result = cur_result
+                best_epoch = self.epoch
+                save_checkpoint(
+                    get_checkpoint_state(
+                        self.params, self.opt_state, self.epoch,
+                        best_result, best_epoch,
+                    ),
+                    os.path.join(self.output_dir, "checkpoint_best"),
+                )
+            self.logger.info(
+                "Best Result:{}, epoch:{}".format(best_result, best_epoch)
+            )
+        return best_result, best_epoch
 
     def train_one_epoch(self, epoch):
         self.train_loader.set_epoch(epoch)

@@ -26,6 +26,16 @@ def create_logger(log_file, rank=0):
     return logging.getLogger(__name__)
 
 
+def is_main_process():
+    """Multi-host write gate (SURVEY §5.8): the reference gates checkpoint
+    saves and downloads on `is_main_process`/`save_on_master`
+    (reference utils/misc.py:381-432); the JAX equivalent is process 0 of
+    the distributed runtime.  True on single-host runs."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def set_random_seed(seed):
     """Seeds python/numpy (utils_helper.py:18-26; the torch/cuda seeds map to
     the jax PRNGKey the trainer derives from the same seed)."""

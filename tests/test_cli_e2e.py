@@ -94,8 +94,9 @@ def test_cli_train_then_evaluate_only(tmp_path):
     assert "Car AP" in log
     assert "Best Result:" in log
 
-    # results written in KITTI txt format for every val image
-    results_dir = tmp_path / "outputs" / "smoke" / "data"
+    # results written in KITTI txt format for every val image, under the
+    # run dir like the reference (tester_helper.py:113)
+    results_dir = tmp_path / "outputs" / "smoke" / "outputs" / "data"
     txts = [f for f in os.listdir(results_dir) if f.endswith(".txt")]
     assert len(txts) == 2
 

@@ -280,3 +280,23 @@ def test_all_losses_match_reference(seed):
         want = float(ref_losses[k])
         have = float(got[k])
         np.testing.assert_allclose(have, want, rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+def test_bin_depths_all_modes_golden():
+    """bin_depths UD/LID/SID vs the reference DDNLoss.bin_depths
+    (ddn_loss.py:66-102, target=True): same indices incl. the out-of-range
+    and non-finite -> num_bins overflow routing."""
+    from lib.models.monodetr.depth_predictor.ddn_loss.ddn_loss import DDNLoss
+
+    from monodetr_tpu.ops.utils import bin_depths
+
+    ref = DDNLoss()
+    rng = np.random.RandomState(7)
+    depth = rng.rand(16, 20).astype(np.float32) * 80 - 5  # spans out-of-range
+    depth[0, :4] = [np.nan, np.inf, -np.inf, 60.0]
+    depth[1, :3] = [1e-3, 0.0, 59.999]
+    for mode in ("UD", "LID", "SID"):
+        want = ref.bin_depths(
+            torch.from_numpy(depth), mode=mode, target=True).numpy()
+        have = np.asarray(bin_depths(jnp.asarray(depth), mode))
+        np.testing.assert_array_equal(have, want, err_msg=mode)

@@ -56,6 +56,56 @@ print(f"proc {pid}: OK {got}")
 """
 
 
+# Exactly-one-writer gating (reference save_on_master, utils/misc.py:404-407):
+# both processes attempt the trainer checkpoint save and the tester
+# results-txt write; only process 0's files may appear.
+_GATE_WORKER = r"""
+import os, sys, types
+import jax
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+outdir = sys.argv[4]
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="localhost:" + port,
+    num_processes=nproc, process_id=pid)
+
+sys.path.insert(0, os.environ["REPO"])
+from monodetr_tpu.eval.tester import Tester
+from monodetr_tpu.train.trainer import Trainer
+from monodetr_tpu.utils.misc import is_main_process
+
+assert is_main_process() == (pid == 0)
+
+class _Logger:
+    def info(self, *a):
+        pass
+
+# tester: each process tries to write a txt named after its own pid, so a
+# gating failure shows up as an extra file
+dataset = types.SimpleNamespace(class_name=["Car"], max_objs=50,
+                                cls_mean_size=None)
+dataloader = types.SimpleNamespace(dataset=dataset)
+os.chdir(outdir)
+t = Tester({"mode": "single"}, types.SimpleNamespace(apply=None), None,
+           dataloader, _Logger(), train_cfg={"save_path": "out/"},
+           model_name="m")
+t.save_results({pid: [[1, 0.5] + [0.0] * 12]})
+
+# trainer: drive the gated save/eval method on a skeleton instance
+tr = object.__new__(Trainer)
+tr.cfg = {"save_all": True}
+tr.output_dir = os.path.join(outdir, "out", "m")
+tr.params = {"w": jax.numpy.zeros(2)}
+tr.opt_state = {}
+tr.epoch = 3 + pid  # distinct names: a gating failure leaves 2 checkpoints
+tr.tester = None
+tr.logger = _Logger()
+tr._save_and_eval_epoch(0.0, 0)
+print(f"proc {pid}: gate OK")
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -85,6 +135,35 @@ def test_two_process_batch_assembly(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid}: OK" in out
+
+
+def test_two_process_exactly_one_writer(tmp_path):
+    port = str(_free_port())
+    script = tmp_path / "gate_worker.py"
+    script.write_text(_GATE_WORKER)
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["REPO"] = REPO
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", port, str(outdir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid}: gate OK" in out
+    # tester results: only process 0's txt exists
+    data = outdir / "out" / "m" / "outputs" / "data"
+    assert sorted(os.listdir(data)) == ["000000.txt"]
+    # trainer checkpoints: only process 0's epoch file exists
+    ckpts = [f for f in os.listdir(outdir / "out" / "m")
+             if f.startswith("checkpoint")]
+    assert ckpts == ["checkpoint_epoch_3.pth"]
 
 
 def test_loader_process_shard_slices_global_batches():

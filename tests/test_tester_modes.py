@@ -88,6 +88,19 @@ def test_single_mode_with_save_all_uses_epoch_checkpoint(tmp_path, monkeypatch):
     assert loaded == ["checkpoint_epoch_7.pth"]
 
 
+def test_results_dir_honors_save_path(tmp_path, monkeypatch):
+    # reference tester_helper.py:113 keeps result txts under the run dir
+    # (<save_path>/<model_name>/outputs/data); a non-default save_path must
+    # not silently split checkpoints and results
+    t, _ = _make_tester(tmp_path, monkeypatch, "single", 0, False)
+    assert t.results_dir == os.path.join(t.output_dir, "outputs", "data")
+    t2 = tester_mod.Tester.__new__(tester_mod.Tester)
+    t2.output_dir = os.path.join(str(tmp_path), "elsewhere", "m")
+    t2.save_results({3: [[1, 0.5] + [0.0] * 12]})
+    assert os.path.exists(
+        os.path.join(t2.output_dir, "outputs", "data", "000003.txt"))
+
+
 def test_single_mode_best_with_latest_fallback(tmp_path, monkeypatch):
     t, loaded = _make_tester(tmp_path, monkeypatch, "single", 0, False)
     os.makedirs(t.output_dir)

@@ -147,7 +147,8 @@ def parse_trace(trace_dir, n_steps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override batch (default: BENCH_BS env or 16)")
     ap.add_argument("--trace-dir", default="/tmp/monodetr_trace")
     args = ap.parse_args()
 
@@ -159,17 +160,17 @@ def main():
     from monodetr_tpu.train.optimizer import build_optimizer
     from monodetr_tpu.train.train_step import make_train_step
 
-    # same env overrides as bench.py so traces match bench configurations
-    rng_impl = os.environ.get("BENCH_RNG", "rbg")  # shipped default
-    if rng_impl == "threefry":
-        rng_impl = "threefry2x32"
-    model = MonoDETR(
-        dtype=jnp.bfloat16,
-        remat=os.environ.get("BENCH_REMAT", "0") == "1",
-        msda_impl=os.environ.get("BENCH_MSDA", "pallas"),
-        dec_msda_impl=os.environ.get("BENCH_DEC_MSDA", "sep"))
+    # the BENCH_* env overrides, parsed by the same helper bench.py uses,
+    # so a trace always matches the bench configuration being profiled
+    # (incl. BENCH_WINDOW and the extended BENCH_REMAT strings)
+    from bench import bench_env
+
+    env = bench_env()
+    rng_impl = env["rng_impl"]
+    model = MonoDETR(dtype=jnp.bfloat16, **env["model_kwargs"])
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
-    batch = make_batch(args.batch, 384, 1280)
+    B = env["batch"] if args.batch is None else args.batch
+    batch = make_batch(B, 384, 1280)
 
     params = jax.jit(lambda r: model.init(
         r, batch["images"], batch["calibs"], batch["img_sizes"], train=True

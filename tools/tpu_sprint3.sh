@@ -37,7 +37,9 @@ run_step() {  # name timeout cmd...
   return $rc
 }
 
-run_step base 1800 python bench.py
+# explicit BENCH_RNG on both steps: bench.py's default is now 'rbg', so a
+# bare run would make base and rbg measure the identical configuration
+run_step base 1800 BENCH_RNG=threefry python bench.py
 run_step rbg  1800 BENCH_RNG=rbg python bench.py
 if ! run_step bs32 1800 BENCH_BS=32 BENCH_RNG=rbg python bench.py; then
   run_step bs32r 2400 BENCH_BS=32 BENCH_REMAT=1 BENCH_RNG=rbg python bench.py

@@ -43,7 +43,10 @@ class StemConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale=None, bias=None):
+        """Optional (scale, bias): a FrozenBN affine folded into the kernel
+        (see FoldedConv) — applied in f32 on the weight, never on the
+        activations."""
         cin = x.shape[-1]
         k = self.param(
             "kernel",
@@ -51,6 +54,8 @@ class StemConv(nn.Module):
                                              "truncated_normal"),
             (7, 7, cin, self.features),
         )
+        if scale is not None:
+            k = k * scale[None, None, None, :]
         k8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
         k4 = k8.reshape(4, 2, 4, 2, cin, self.features)
         k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(
@@ -62,20 +67,75 @@ class StemConv(nn.Module):
         xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
         import jax.lax as lax
 
-        return lax.conv_general_dilated(
+        out = lax.conv_general_dilated(
             xs.astype(self.dtype), k4.astype(self.dtype), (1, 1),
             ((2, 1), (2, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
 
 
 class FrozenBN(nn.Module):
-    """Per-channel affine with constant (non-trained) scale/bias."""
+    """Per-channel affine with constant (non-trained) scale/bias.
+
+    With fold=True the call takes the channel COUNT and returns the raw
+    (scale, bias) f32 params so the caller can fold them into the adjacent
+    conv's weights (see FoldedConv) instead of running a separate
+    elementwise pass over the activations.  Param paths/shapes are identical
+    either way (checkpoint converters and the optimizer freeze mask match by
+    the module name, e.g. `bn1/scale`)."""
+
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        c = x if self.fold else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.fold:
+            return scale, bias
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class FoldedConv(nn.Module):
+    """nn.Conv(use_bias=False) with a FrozenBN affine folded into the kernel
+    at trace time: conv(x, k * scale) + bias.
+
+    The reference applies FrozenBN as an elementwise scale+bias on the
+    activations every forward (backbone.py:62-64); since the affine is
+    constant, it commutes into the conv weights — the multiply rides the
+    (tiny) [kh, kw, cin, cout] kernel instead of a full-size VPU pass over
+    [B, H, W, C] in forward AND the matching scale of the output gradient in
+    backward.  Folding happens in f32 before the bf16 cast, so it is also
+    (slightly) more precise than the post-conv bf16 affine it replaces.
+    Param path matches nn.Conv (`<name>/kernel`, lecun_normal init)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Any = "SAME"
+    kernel_dilation: Sequence[int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale, bias):
+        cin = x.shape[-1]
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, cin, self.features),
+        )
+        k = (k * scale[None, None, None, :]).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k,
+            tuple(self.strides),
+            self.padding if isinstance(self.padding, str)
+            else tuple(tuple(p) for p in self.padding),
+            rhs_dilation=tuple(self.kernel_dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -90,33 +150,33 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = FrozenBN(name="bn1")(out)
+        s, b = FrozenBN(fold=True, name="bn1")(self.features)
+        out = FoldedConv(self.features, (1, 1), dtype=self.dtype,
+                         name="conv1")(x, s, b)
         out = nn.relu(out)
-        out = nn.Conv(
+        s, b = FrozenBN(fold=True, name="bn2")(self.features)
+        out = FoldedConv(
             self.features,
             (3, 3),
             strides=(self.stride, self.stride),
             padding=[(self.dilation, self.dilation)] * 2,
             kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
             dtype=self.dtype,
             name="conv2",
-        )(out)
-        out = FrozenBN(name="bn2")(out)
+        )(out, s, b)
         out = nn.relu(out)
-        out = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = FrozenBN(name="bn3")(out)
+        s, b = FrozenBN(fold=True, name="bn3")(self.features * 4)
+        out = FoldedConv(self.features * 4, (1, 1), dtype=self.dtype,
+                         name="conv3")(out, s, b)
         if self.downsample:
-            identity = nn.Conv(
+            s, b = FrozenBN(fold=True, name="downsample_bn")(self.features * 4)
+            identity = FoldedConv(
                 self.features * 4,
                 (1, 1),
                 strides=(self.stride, self.stride),
-                use_bias=False,
                 dtype=self.dtype,
                 name="downsample_conv",
-            )(x)
-            identity = FrozenBN(name="downsample_bn")(identity)
+            )(x, s, b)
         return nn.relu(out + identity)
 
 
@@ -135,8 +195,8 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x):
         blocks = STAGE_BLOCKS[self.name_or_depth]
         x = x.astype(self.dtype)
-        x = StemConv(64, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBN(name="bn1")(x)
+        s, b = FrozenBN(fold=True, name="bn1")(64)
+        x = StemConv(64, dtype=self.dtype, name="conv1")(x, s, b)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

@@ -92,24 +92,31 @@ class MSDeformAttn(nn.Module):
         max_r = None
         if self.impl in ("pallas", "sepwin", "windowed"):
             max_r = 0.75 * (self.window / 2 - 1)
+        # Offset/weight projections run in the module compute dtype (bf16 on
+        # the TPU fast path): an f32 matmul costs ~6x bf16 on the MXU, and
+        # the quantities only need coarse precision — offsets are <= a few
+        # px (bf16 grain at 4 px is ~0.015 px) and the weight logits feed a
+        # softmax.  Params stay f32 (flax param_dtype default); positional
+        # math downstream is promoted back to f32.
         offsets_flat = nn.Dense(
             H * L * P * 2,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
                 _offset_bias_init(H, L, P, max_r), dtype
             ),
             name="sampling_offsets",
-        )(query)
+        )(query).astype(jnp.float32)
 
         attn = nn.Dense(
             H * L * P,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="attention_weights",
         )(query).reshape(B, Q, H, L * P)
-        attn = nn.softmax(attn, axis=-1).reshape(B, Q, H, L, P)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).reshape(
+            B, Q, H, L, P)
 
         if self.impl == "pallas":
             # packed fast path: for grid queries the offset normalization

@@ -127,10 +127,12 @@ def _geometry(spatial_shapes, lq, G):
             SW = _strip_extent(tw, wq, wv, G)
             geom.append({
                 "SH": SH,
-                # +8: x starts are quantized down to a multiple of 8 (DMA
-                # slice alignment on the sublane dim), so strips carry 8
-                # slack columns
-                "SWp": -(-SW // 8) * 8 + 8,
+                # x starts are quantized down to a multiple of 8 (DMA slice
+                # alignment on the sublane dim), which shifts the start left
+                # by up to 7 columns; ceil(SW+7) to a multiple of 8 is the
+                # tight cover (the old ceil(SW)+8 over-padded by up to 8
+                # columns — ~14% of the dominant level-0 strip)
+                "SWp": -(-(SW + 7) // 8) * 8,
                 "ay0": _anchor0_fn(th, hq, hv),
                 "ax0": _anchor0_fn(tw, wq, wv),
             })

@@ -33,9 +33,13 @@ sys.path.insert(0, REPO)
 import yaml
 
 
-def make_config(workdir, data_root, images, epochs):
+def make_config(workdir, data_root, images, epochs, msda_impl=None):
     with open(os.path.join(REPO, "configs", "monodetr.yaml")) as f:
         cfg = yaml.safe_load(f)
+    if msda_impl:
+        # clamp-semantics A/B: 'pallas' (shipped windowed kernel) vs
+        # 'gather' (exact reference semantics) on identical seed/data
+        cfg["model"]["msda_impl"] = msda_impl
 
     # overfit protocol: augmentation off, val == train, tiny LR schedule
     cfg["dataset"].update(
@@ -90,6 +94,9 @@ def main():
     ap.add_argument("--images", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--workdir", default="/tmp/overfit_synthetic")
+    ap.add_argument("--msda-impl", default=None,
+                    help="override model.msda_impl (pallas|gather|...) for "
+                         "the clamp-semantics AP A/B")
     ap.add_argument("--out", default=os.path.join(REPO, "outputs",
                                                   "overfit_synthetic.json"))
     args = ap.parse_args()
@@ -107,7 +114,8 @@ def main():
     with open(os.path.join(data_root, "ImageSets", "val.txt"), "w") as f:
         f.write(train_ids)
 
-    cfg_path = make_config(args.workdir, data_root, args.images, args.epochs)
+    cfg_path = make_config(args.workdir, data_root, args.images, args.epochs,
+                           args.msda_impl)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "train_val.py"),
          "--config", cfg_path],
@@ -119,8 +127,10 @@ def main():
         "rc": proc.returncode,
         "epochs": args.epochs,
         "images": args.images,
+        "msda_impl": args.msda_impl or "pallas (config default)",
         "loss_first": losses[0] if losses else None,
         "loss_last": losses[-1] if losses else None,
+        "loss_trajectory_every10": losses[::10],
         "final_ap": aps,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

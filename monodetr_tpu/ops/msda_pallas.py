@@ -69,16 +69,9 @@ def _tile_for_level(hq, wq):
 
 
 def _tile_candidates(hq, wq):
-    """Candidate query tiles, best first.
-
-    Strip extents carry a fixed ~G+2+alignment overhead per tile axis, so
-    larger tiles amortize both that overhead and the ~20 us fixed cost per
-    kernel invocation (measured: the four per-level backward calls cost
-    17.4/6.0/5.7/5.1 ms at 960/240/240/240 invocations — near-constant
-    per-invocation).  Prefer the largest T <= 256 with the least lane
-    padding (T is the lane dim of the [SP, T] weight build; lanes pad to
-    multiples of 128).  _geometry takes the first candidate whose strips
-    fit VMEM_BUDGET."""
+    """Candidate query tiles (unscored; _geometry ranks them by the
+    measured cost model: per-grid-step fixed overhead + VPU/MXU work
+    proportional to sum(strip px) * lane-padded T)."""
     cands = []
     for th in range(1, min(hq, 16) + 1):
         if hq % th:
@@ -86,13 +79,10 @@ def _tile_candidates(hq, wq):
         for tw in range(1, min(wq, 32) + 1):
             if wq % tw:
                 continue
-            T = th * tw
-            if T > 256:
+            if th * tw > 512:
                 continue
-            tpad = max(128, -(-T // 128) * 128)
-            cands.append((T * T / tpad, T, th, tw))
-    cands.sort(key=lambda c: (-c[0], -c[1], abs(c[2] - c[3] // 2)))
-    return [(th, tw) for _, T, th, tw in cands]
+            cands.append((th, tw))
+    return cands
 
 
 def _anchor0_fn(n_tile, nq, nv):
@@ -117,6 +107,17 @@ def _strip_extent(n_tile, nq, nv, G):
 VMEM_BUDGET = 13 * 1024 * 1024  # conservative per-tile scratch target
 
 
+# Per-grid-step cost model, calibrated on-chip (round 5): ~6 us fixed
+# (pipeline/DMA/launch) + ~45 ps per [strip px, lane-padded T] element of
+# the per-(head, point) hat passes (avg of measured fwd 24.5 ps and bwd
+# 61 ps at the shipped shapes).  Tiles are ranked by
+#   NB * (FIXED + BETA * sum(SP) * Tpad)
+# — per-QUERY VPU/MXU work is sum(SP) (every query in a tile pays the whole
+# strip), so smaller tiles do LESS compute but more fixed-cost steps.
+_STEP_FIXED_US = 6.0
+_STEP_BETA_US = 4.5e-5
+
+
 def _geometry(spatial_shapes, lq, G):
     hq, wq = spatial_shapes[lq]
 
@@ -125,16 +126,21 @@ def _geometry(spatial_shapes, lq, G):
         for hv, wv in spatial_shapes:
             SH = _strip_extent(th, hq, hv, G)
             SW = _strip_extent(tw, wq, wv, G)
+            # x starts are quantized down to a multiple of 8 (DMA slice
+            # alignment on the sublane dim), which shifts the start left by
+            # the start's residue mod 8.  Anchors are affine in the tile
+            # index, so the residue SET per (query level, sampled level)
+            # pair is static — size the strip for the worst residue that
+            # actually occurs instead of the generic +7 (saves a whole
+            # 8-column block on most cross-level strips).
+            ax0 = _anchor0_fn(tw, wq, wv)
+            rho = max((ax0(bx) + PAD - G // 2) % 8
+                      for bx in range(max(1, wq // tw)))
             geom.append({
                 "SH": SH,
-                # x starts are quantized down to a multiple of 8 (DMA slice
-                # alignment on the sublane dim), which shifts the start left
-                # by up to 7 columns; ceil(SW+7) to a multiple of 8 is the
-                # tight cover (the old ceil(SW)+8 over-padded by up to 8
-                # columns — ~14% of the dominant level-0 strip)
-                "SWp": -(-(SW + 7) // 8) * 8,
+                "SWp": -(-(SW + rho) // 8) * 8,
                 "ay0": _anchor0_fn(th, hq, hv),
-                "ax0": _anchor0_fn(tw, wq, wv),
+                "ax0": ax0,
             })
         return geom
 
@@ -145,13 +151,22 @@ def _geometry(spatial_shapes, lq, G):
         sp = [g["SH"] * g["SWp"] for g in geom]
         return sum(sp) * 256 * (4 + 4) + 2 * max(sp) * T * 4
 
-    # Larger query levels at larger pyramids pull proportionally larger
-    # cross-level strips (observed: 2x-resolution level-2 tiles need ~19 MB
-    # > the 16 MB scoped-vmem limit); take the best tile candidate whose
-    # strip estimate fits the budget.
+    # Rank all dividing tiles by the step-cost model and take the cheapest
+    # whose strip scratch fits the VMEM budget (larger query levels at
+    # larger pyramids pull proportionally larger cross-level strips; the
+    # 2x-resolution stress config needs the budget gate).
+    scored = []
     for th, tw in _tile_candidates(hq, wq):
         geom = build(th, tw)
-        if vmem_est(geom, th * tw) <= VMEM_BUDGET:
+        T = th * tw
+        tpad = max(128, -(-T // 128) * 128)
+        nb = (hq // th) * (wq // tw)
+        sp_sum = sum(g["SH"] * g["SWp"] for g in geom)
+        cost = nb * (_STEP_FIXED_US + _STEP_BETA_US * sp_sum * tpad)
+        scored.append((cost, T, th, tw, geom))
+    scored.sort(key=lambda c: (c[0], -c[1]))
+    for _, T, th, tw, geom in scored:
+        if vmem_est(geom, T) <= VMEM_BUDGET:
             return (th, tw), geom
     # fallback: the conservative floor, budget-shrunk the old way
     th, tw = _tile_for_level(hq, wq)
@@ -170,17 +185,20 @@ def _geometry(spatial_shapes, lq, G):
 
 
 def _check_pad(spatial_shapes, G):
-    """Every strip must stay inside the PAD halo (static check)."""
+    """Every strip must stay inside the PAD halo (static check, exact:
+    y starts are used unquantized; x starts are floored to multiples of 8
+    and the strip extent covers the worst actual residue)."""
     for lq, (hq, wq) in enumerate(spatial_shapes):
         (th, tw), geom = _geometry(spatial_shapes, lq, G)
         for lv, (hv, wv) in enumerate(spatial_shapes):
             g = geom[lv]
-            for n_tiles, a0, extent, size in (
-                    (hq // th, g["ay0"], g["SH"], hv),
-                    (wq // tw, g["ax0"], g["SWp"], wv)):
-                lo = a0(0) + PAD - G // 2 - 7
-                hi = a0(n_tiles - 1) + PAD - G // 2 + extent
-                assert 0 <= lo and hi <= size + 2 * PAD, (lq, lv, lo, hi, size)
+            ys = [g["ay0"](by) + PAD - G // 2 for by in range(hq // th)]
+            assert 0 <= min(ys) and max(ys) + g["SH"] <= hv + 2 * PAD, (
+                "y", lq, lv, min(ys), max(ys) + g["SH"], hv)
+            xs = [((g["ax0"](bx) + PAD - G // 2) // 8) * 8
+                  for bx in range(wq // tw)]
+            assert 0 <= min(xs) and max(xs) + g["SWp"] <= wv + 2 * PAD, (
+                "x", lq, lv, min(xs), max(xs) + g["SWp"], wv)
 
 
 def _center_positions(spatial_shapes):

@@ -60,7 +60,7 @@ def bench_env():
         "rng_impl": rng_impl,
         "model_kwargs": dict(
             remat=remat,
-            msda_impl=os.environ.get("BENCH_MSDA", "pallas"),  # pallas|sepwin|windowed|gather
+            msda_impl=os.environ.get("BENCH_MSDA", "fused"),  # fused|pallas|sepwin|windowed|gather
             msda_window=int(os.environ.get("BENCH_WINDOW", 8)),
             dec_msda_impl=os.environ.get("BENCH_DEC_MSDA", "sep"),
         ),

@@ -89,6 +89,12 @@ class FrozenBN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.fold:
+            # fold mode takes the CHANNEL COUNT (the caller folds scale/bias
+            # into its conv weights), not an activation array
+            assert isinstance(x, int), (
+                "FrozenBN(fold=True) expects a channel count; pass the "
+                "activation array only with fold=False")
         c = x if self.fold else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -195,8 +201,9 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x):
         blocks = STAGE_BLOCKS[self.name_or_depth]
         x = x.astype(self.dtype)
-        s, b = FrozenBN(fold=True, name="bn1")(64)
-        x = StemConv(64, dtype=self.dtype, name="conv1")(x, s, b)
+        stem_scale, stem_bias = FrozenBN(fold=True, name="bn1")(64)
+        x = StemConv(64, dtype=self.dtype, name="conv1")(x, stem_scale,
+                                                         stem_bias)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

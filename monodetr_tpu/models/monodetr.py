@@ -57,7 +57,7 @@ class MonoDETR(nn.Module):
     #   "encoder"    — remat encoder layers only (MSDA output saved);
     #   True/"all"   — both (the 2x-resolution stress path).
     remat: Any = False
-    msda_impl: str = "gather"  # encoder MSDA kernel: gather | pallas | windowed
+    msda_impl: str = "gather"  # encoder MSDA kernel: gather | fused | pallas | windowed
     msda_window: int = 8  # clamp window G for windowed encoder impls
     dec_msda_impl: str = "sep"  # decoder cross-attn MSDA: sep (exact, MXU Pallas) | dense | gather
 

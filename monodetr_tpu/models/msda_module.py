@@ -40,10 +40,40 @@ def _offset_bias_init(n_heads, n_levels, n_points, max_radius=None):
     return grid.reshape(-1)
 
 
+class _PermutedOutDense(nn.Module):
+    """nn.Dense-compatible projection whose OUTPUT features are permuted by
+    a static perm applied to the params (kernel columns / bias) rather than
+    the activations: the stored param layout stays reference-compatible
+    (checkpoint import/export unchanged) while the matmul emits the
+    kernel-friendly feature order at zero runtime cost."""
+
+    features: int
+    perm: Any
+    dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", self.kernel_init,
+                       (x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        perm = jnp.asarray(np.asarray(self.perm), jnp.int32)
+        k = jnp.take(k, perm, axis=1).astype(self.dtype)
+        b = jnp.take(b, perm, axis=0).astype(self.dtype)
+        return jnp.dot(x.astype(self.dtype), k) + b
+
+
 class MSDeformAttn(nn.Module):
     """impl selects the sampling kernel:
       - "gather": exact reference semantics (arbitrary offsets), XLA fused
         row-gather — the parity path;
+      - "fused": windowed TPU kernel with the whole attention prologue and
+        epilogue inside the kernel (ops/msda_enc_pallas.py): consumes the
+        raw bf16 offset/logit projections in natural layout, does softmax/
+        clamp/centers in VMEM, emits bf16 projection grads — no f32 pack
+        arrays or blockify relayouts in XLA.  Same windowed semantics as
+        "pallas"; the encoder fast path;
       - "pallas": windowed TPU kernel (ops/msda_pallas.py), offsets clamped
         to +-(window/2-1) px — the fast path for encoder self-attention
         (requires grid queries, i.e. Q == S and 2-D reference points);
@@ -90,17 +120,52 @@ class MSDeformAttn(nn.Module):
         # margin (0.75 * lim) so every point starts with a live location
         # gradient; exact-semantics gather keeps the reference radii
         max_r = None
-        if self.impl in ("pallas", "sepwin", "windowed"):
+        if self.impl in ("pallas", "fused", "sepwin", "windowed"):
             max_r = 0.75 * (self.window / 2 - 1)
+
+        if self.impl == "fused":
+            # GRID-CENTERS ASSUMPTION: like "pallas" below, this path
+            # derives sampling centers from spatial_shapes alone and never
+            # reads reference_points — valid because the encoder's
+            # reference points ARE the static per-level pixel-center grid
+            # (depthaware_transformer.py:357-384) and this model has no
+            # padding masks.  Non-grid callers must use 'gather'/'windowed'.
+            assert reference_points.shape[-1] == 2 and Q == S, (
+                "fused MSDA needs grid queries (encoder self-attention)")
+            from ..ops.msda_enc_pallas import (ms_deform_attn_enc_fused,
+                                               offset_feature_perm)
+
+            off = _PermutedOutDense(
+                H * L * P * 2, offset_feature_perm(), dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                    _offset_bias_init(H, L, P, max_r), dtype),
+                name="sampling_offsets",
+            )(query)
+            logits = nn.Dense(
+                H * L * P, dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="attention_weights",
+            )(query)
+            out = ms_deform_attn_enc_fused(
+                value, tuple(spatial_shapes), off, logits, self.window
+            ).astype(self.dtype)
+            out = checkpoint_name(out, "msda_sampled")
+            return nn.Dense(self.d_model, dtype=self.dtype,
+                            name="output_proj")(out)
         # Offset/weight projections run in the module compute dtype (bf16 on
         # the TPU fast path): an f32 matmul costs ~6x bf16 on the MXU, and
         # the quantities only need coarse precision — offsets are <= a few
         # px (bf16 grain at 4 px is ~0.015 px) and the weight logits feed a
         # softmax.  Params stay f32 (flax param_dtype default); positional
-        # math downstream is promoted back to f32.
+        # math downstream is promoted back to f32.  Exception: 'gather' is
+        # the exact-reference-parity path, so its projections stay f32
+        # (bit-parity-grade goldens and clamp A/Bs run through it).
+        proj_dtype = jnp.float32 if self.impl == "gather" else self.dtype
         offsets_flat = nn.Dense(
             H * L * P * 2,
-            dtype=self.dtype,
+            dtype=proj_dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
                 _offset_bias_init(H, L, P, max_r), dtype
@@ -110,7 +175,7 @@ class MSDeformAttn(nn.Module):
 
         attn = nn.Dense(
             H * L * P,
-            dtype=self.dtype,
+            dtype=proj_dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="attention_weights",

@@ -105,6 +105,11 @@ class Trainer:
                 best_result, best_epoch = self._save_and_eval_epoch(
                     best_result, best_epoch)
 
+        # PROC-0-ONLY INVARIANT: non-main processes skip eval entirely
+        # (_save_and_eval_epoch returns its inputs unchanged there), so
+        # best_result/best_epoch are only meaningful on process 0.  Nothing
+        # may branch or issue collectives keyed on them off process 0; they
+        # exist for proc-0 logging and the final summary line below.
         self.best_result = best_result
         self.best_epoch = best_epoch
         self.logger.info(

@@ -16,11 +16,13 @@ import pytest
 
 import monodetr_tpu.ops as ops_pkg
 from monodetr_tpu.ops import (attention_pallas, lap_pallas,
-                              msda_dense_pallas, msda_pallas,
-                              msda_sep_pallas, msda_sepwin_pallas)
+                              msda_dense_pallas, msda_enc_pallas,
+                              msda_pallas, msda_sep_pallas,
+                              msda_sepwin_pallas)
 
 PALLAS_MODULES = (attention_pallas, lap_pallas, msda_dense_pallas,
-                  msda_pallas, msda_sep_pallas, msda_sepwin_pallas)
+                  msda_enc_pallas, msda_pallas, msda_sep_pallas,
+                  msda_sepwin_pallas)
 
 SHAPES = ((48, 160), (24, 80), (12, 40), (6, 20))
 S = sum(h * w for h, w in SHAPES)
@@ -98,6 +100,20 @@ def test_windowed_pallas_lowers_for_tpu():
         return out.astype(jnp.float32).sum()
 
     _export_tpu(jax.grad(loss, argnums=(0, 1, 2)), value, loc, att)
+
+
+def test_enc_fused_pallas_lowers_for_tpu():
+    """Production shapes AND the shipped bf16 transport dtypes."""
+    rng = np.random.RandomState(0)
+    value = jnp.asarray(rng.randn(B, S, H, D), jnp.bfloat16)
+    off = jnp.asarray(rng.randn(B, S, 256), jnp.bfloat16)
+    logits = jnp.asarray(rng.randn(B, S, 128), jnp.bfloat16)
+
+    def loss(v, o, lg):
+        out = msda_enc_pallas.ms_deform_attn_enc_fused(v, SHAPES, o, lg, 8)
+        return out.astype(jnp.float32).sum()
+
+    _export_tpu(jax.grad(loss, argnums=(0, 1, 2)), value, off, logits)
 
 
 def test_sepwin_pallas_lowers_for_tpu():

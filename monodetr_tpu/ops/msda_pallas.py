@@ -43,7 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .msda import level_start_indices
 
-PAD = 24  # HBM halo: window + strip rounding + 8-alignment of x starts
+PAD = 16  # HBM halo: window/2 + strip rounding + 8-alignment of x starts
+# (must be a multiple of 8 so DMA-start residues are PAD-invariant;
+# 16 is the minimum that satisfies the exact _check_pad bounds for
+# G<=8 at power-of-two level ratios — 24 inflated the f32 grad-map
+# zero-init/copy traffic ~23% for level-0)
 
 
 def _interpret():

@@ -63,7 +63,7 @@ def make_batch(rng, B, H, W):
     }
 
 
-def train_one(impl, params0, batches, steps, lr_peak, warmup):
+def train_one(impl, window, params0, batches, steps, lr_peak, warmup):
     import jax
     import jax.numpy as jnp
 
@@ -72,7 +72,7 @@ def train_one(impl, params0, batches, steps, lr_peak, warmup):
     from monodetr_tpu.train.optimizer import build_optimizer
     from monodetr_tpu.train.train_step import make_train_step
 
-    model = MonoDETR(msda_impl=impl)
+    model = MonoDETR(msda_impl=impl, msda_window=window)
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
     params = jax.tree_util.tree_map(jnp.copy, params0)
     opt_state, step_fn = build_optimizer(
@@ -94,7 +94,7 @@ def train_one(impl, params0, batches, steps, lr_peak, warmup):
     return params, traj
 
 
-def decode_agreement(params, batch, threshold=0.2):
+def decode_agreement(params, batch, wimpl="pallas", window=8, threshold=0.2):
     """Top-k decode under gather vs pallas forward on the same params."""
     import jax
 
@@ -102,11 +102,10 @@ def decode_agreement(params, batch, threshold=0.2):
     from monodetr_tpu.models import MonoDETR
 
     dets = {}
-    for impl in ("gather", "pallas"):
-        model = MonoDETR(msda_impl=impl)
+    for impl in ("gather", wimpl):
         out = jax.jit(
-            lambda p, b: extract_dets_from_outputs(
-                MonoDETR(msda_impl=impl).apply(
+            lambda p, b, impl=impl: extract_dets_from_outputs(
+                MonoDETR(msda_impl=impl, msda_window=window).apply(
                     p, b["images"], b["calibs"], b["img_sizes"], train=False),
                 topk=50)
         )(params, batch)
@@ -114,7 +113,7 @@ def decode_agreement(params, batch, threshold=0.2):
 
     # dets: [B, K, 37]; col 0 = class, col 1 = score, cols 2:6 = 2d box
     # (fractional cx,cy,l,r or similar 2d proj) — compare confident ones
-    a, b = dets["gather"], dets["pallas"]
+    a, b = dets["gather"], dets[wimpl]
     agree, total = 0, 0
     score_gap = []
     for i in range(a.shape[0]):
@@ -145,6 +144,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--impl", default="pallas",
+                    help="windowed impl to validate against gather")
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join("outputs",
+                    "clamp_validation.json"))
     args = ap.parse_args()
 
     import jax
@@ -156,7 +160,7 @@ def main():
                for _ in range(4)]
 
     # identical start: the shipped (windowed-scaled) init
-    model = MonoDETR(msda_impl="pallas")
+    model = MonoDETR(msda_impl=args.impl, msda_window=args.window)
     params0 = jax.jit(
         lambda r: model.init(
             r, batches[0]["images"], batches[0]["calibs"],
@@ -164,35 +168,36 @@ def main():
     )(jax.random.PRNGKey(0))
 
     results = {"steps": args.steps, "batch": args.batch,
-               "resolution": [args.width, args.height]}
+               "resolution": [args.width, args.height],
+               "impl": args.impl, "window": args.window}
     trained = {}
-    for impl in ("gather", "pallas"):
+    for impl in ("gather", args.impl):
         params, traj = train_one(
-            impl, params0, batches, args.steps, 2e-4, warmup=50)
+            impl, args.window, params0, batches, args.steps, 2e-4, warmup=50)
         trained[impl] = params
         results[f"traj_{impl}"] = traj
 
     g = np.asarray(results["traj_gather"])
-    p = np.asarray(results["traj_pallas"])
+    p = np.asarray(results[f"traj_{args.impl}"])
     rel = np.abs(g - p) / np.maximum(np.abs(g), 1e-6)
     results["final_gather"] = float(g[-1])
-    results["final_pallas"] = float(p[-1])
+    results["final_windowed"] = float(p[-1])
     results["final_rel_diff"] = float(rel[-1])
     results["max_rel_diff"] = float(rel.max())
     # smoothed tail comparison (last 20% of steps)
     k = max(1, len(g) // 5)
     results["tail_mean_gather"] = float(g[-k:].mean())
-    results["tail_mean_pallas"] = float(p[-k:].mean())
+    results["tail_mean_windowed"] = float(p[-k:].mean())
     results["tail_rel_diff"] = float(
         abs(g[-k:].mean() - p[-k:].mean()) / abs(g[-k:].mean()))
 
-    results["decode_agreement_on_pallas_params"] = decode_agreement(
-        trained["pallas"], batches[0])
+    results["decode_agreement_on_windowed_params"] = decode_agreement(
+        trained[args.impl], batches[0], args.impl, args.window)
     results["decode_agreement_on_gather_params"] = decode_agreement(
-        trained["gather"], batches[0])
+        trained["gather"], batches[0], args.impl, args.window)
 
     os.makedirs("outputs", exist_ok=True)
-    out = os.path.join("outputs", "clamp_validation.json")
+    out = args.out
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({k: v for k, v in results.items()

@@ -61,7 +61,7 @@ def bench_env():
         "model_kwargs": dict(
             remat=remat,
             msda_impl=os.environ.get("BENCH_MSDA", "fused"),  # fused|pallas|sepwin|windowed|gather
-            msda_window=int(os.environ.get("BENCH_WINDOW", 8)),
+            msda_window=int(os.environ.get("BENCH_WINDOW", 6)),
             dec_msda_impl=os.environ.get("BENCH_DEC_MSDA", "sep"),
         ),
     }

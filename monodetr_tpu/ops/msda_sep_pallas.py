@@ -32,9 +32,11 @@ M = (a*hy)_exp * g_exp (shared by dV and dfx),
 so the whole backward is 3 large matmuls + rank-H_l epilogues per point —
 no chunked x loop, no second (y-major) value layout.
 
-Layout: one pallas_call per level (static H_l, W_l), grid (B*H,); value
-pre-transposed to x-major [BH, W_l, H_l*D].  Per-query operands ride as
-[BH, P, Qp].
+Layout: ONE pallas_call per direction covering all L levels (static
+per-level H_l, W_l inside the kernel), grid (B*H,); value pre-transposed
+to x-major [BH, W_l, H_l*D] slabs.  Per-query operands ride as
+[BH, L, P, Qp].  Per-level calls paid the per-step fixed cost 4x — the
+coarse levels measured ~16 us/step of almost pure overhead (round 5).
 """
 
 import functools
@@ -90,75 +92,93 @@ def _dotT(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(fx_ref, fy_ref, att_ref, v_ref, ey_ref, ty_ref, o_ref,
-                *, P, Hl, Wl, D):
-    fx = fx_ref[0]          # [P, Qp] f32, level-pixel coords
-    fy = fy_ref[0]
-    att = att_ref[0]
-    v = v_ref[0]            # [Wl, Hl*D]
-    Qp = fx.shape[1]
-    jx = _fiota(Qp, Wl)
-    jy = _fiota(Qp, Hl)
+def _fwd_kernel(fx_ref, fy_ref, att_ref, *refs, P, D, shapes):
+    """ONE grid step = one (b, h): all L levels in a single launch.
+
+    Per-level work is wildly unbalanced (level 0 is MXU-bound, levels 1-3
+    are trivial), so per-level pallas_calls paid 4x the per-step fixed cost
+    (measured ~14-16 us/step on the coarse levels = almost pure overhead);
+    the merged kernel pays it once."""
+    L = len(shapes)
+    v_refs = refs[:L]
+    ey_refs = refs[L:2 * L]
+    ty_refs = refs[2 * L:3 * L]
+    o_ref = refs[3 * L]
+    Qp = fx_ref.shape[-1]
 
     acc = jnp.zeros((Qp, D), jnp.float32)
-    for p in range(P):
-        hx, _ = _hat(fx[p][:, None], jx)            # [Qp, Wl]
-        hy, _ = _hat(fy[p][:, None], jy)            # [Qp, Hl]
-        ahy = att[p][:, None] * hy
-        # R[q, iy*D+d] = sum_ix hx * V;  hy_exp spreads ahy over each
-        # iy's D-lane group; the final contraction sums each d across iy.
-        R = jnp.dot(hx.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32)   # [Qp, Hl*D]
-        hy_exp = jnp.dot(ahy, ey_ref[...],
-                         preferred_element_type=jnp.float32)
-        acc = acc + _dotT(hy_exp * R, ty_ref[...])        # [Qp, D]
+    for lv, (Hl, Wl) in enumerate(shapes):
+        fx = fx_ref[0, lv]          # [P, Qp] f32, level-pixel coords
+        fy = fy_ref[0, lv]
+        att = att_ref[0, lv]
+        v = v_refs[lv][0]           # [Wl, Hl*D]
+        jx = _fiota(Qp, Wl)
+        jy = _fiota(Qp, Hl)
+        for p in range(P):
+            hx, _ = _hat(fx[p][:, None], jx)            # [Qp, Wl]
+            hy, _ = _hat(fy[p][:, None], jy)            # [Qp, Hl]
+            ahy = att[p][:, None] * hy
+            # R[q, iy*D+d] = sum_ix hx * V;  hy_exp spreads ahy over each
+            # iy's D-lane group; the final contraction sums d across iy.
+            R = jnp.dot(hx.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)  # [Qp, Hl*D]
+            hy_exp = jnp.dot(ahy, ey_refs[lv][...],
+                             preferred_element_type=jnp.float32)
+            acc = acc + _dotT(hy_exp * R, ty_refs[lv][...])  # [Qp, D]
     o_ref[0] = acc
 
 
-def _bwd_kernel(fx_ref, fy_ref, att_ref, vx_ref, g_ref, ey_ref, ty_ref,
-                dv_ref, dfx_ref, dfy_ref, datt_ref,
-                *, P, Hl, Wl, D):
-    fx = fx_ref[0]
-    fy = fy_ref[0]
-    att = att_ref[0]
-    vx = vx_ref[0]                      # [Wl, Hl*D]
+def _bwd_kernel(fx_ref, fy_ref, att_ref, *refs, P, D, shapes):
+    L = len(shapes)
+    v_refs = refs[:L]
+    g_ref = refs[L]
+    ey_refs = refs[L + 1:2 * L + 1]
+    ty_refs = refs[2 * L + 1:3 * L + 1]
+    dv_refs = refs[3 * L + 1:4 * L + 1]
+    dfx_ref, dfy_ref, datt_ref = refs[4 * L + 1:4 * L + 4]
+    Qp = fx_ref.shape[-1]
     g = g_ref[0].astype(jnp.float32)    # [Qp, D]
-    Qp = fx.shape[1]
-    jx = _fiota(Qp, Wl)
-    jy = _fiota(Qp, Hl)
 
-    g_exp = jnp.dot(g, ty_ref[...],
-                    preferred_element_type=jnp.float32)   # [Qp, Hl*D]
+    for lv, (Hl, Wl) in enumerate(shapes):
+        fx = fx_ref[0, lv]
+        fy = fy_ref[0, lv]
+        att = att_ref[0, lv]
+        vx = v_refs[lv][0]                  # [Wl, Hl*D]
+        jx = _fiota(Qp, Wl)
+        jy = _fiota(Qp, Hl)
 
-    dv = jnp.zeros((Wl, Hl * D), jnp.float32)
-    for p in range(P):
-        a = att[p][:, None]
-        hx, ghx = _hat(fx[p][:, None], jx)
-        hy, ghy = _hat(fy[p][:, None], jy)
-        ahy = a * hy
+        g_exp = jnp.dot(g, ty_refs[lv][...],
+                        preferred_element_type=jnp.float32)  # [Qp, Hl*D]
 
-        # ---- y-axis grads: dhy[q, iy] = sum_d g * R ----
-        R = jnp.dot(hx.astype(vx.dtype), vx,
-                    preferred_element_type=jnp.float32)   # [Qp, Hl*D]
-        dhy = _dotT(R * g_exp, ey_ref[...])               # [Qp, Hl]
-        datt_ref[0, p, :] = jnp.sum(hy * dhy, axis=1)
-        dfy_ref[0, p, :] = att[p] * jnp.sum(ghy * dhy, axis=1)
+        dv = jnp.zeros((Wl, Hl * D), jnp.float32)
+        for p in range(P):
+            a = att[p][:, None]
+            hx, ghx = _hat(fx[p][:, None], jx)
+            hy, ghy = _hat(fy[p][:, None], jy)
+            ahy = a * hy
 
-        # ---- shared middle term M[q, iy*D+d] = a*hy[q,iy]*g[q,d] ----
-        hy_exp = jnp.dot(ahy, ey_ref[...],
-                         preferred_element_type=jnp.float32)
-        M = hy_exp * g_exp                                # [Qp, Hl*D]
+            # ---- y-axis grads: dhy[q, iy] = sum_d g * R ----
+            R = jnp.dot(hx.astype(vx.dtype), vx,
+                        preferred_element_type=jnp.float32)  # [Qp, Hl*D]
+            dhy = _dotT(R * g_exp, ey_refs[lv][...])         # [Qp, Hl]
+            datt_ref[0, lv, p, :] = jnp.sum(hy * dhy, axis=1)
+            dfy_ref[0, lv, p, :] = att[p] * jnp.sum(ghy * dhy, axis=1)
 
-        # ---- dV = hx^T @ M ----
-        dv = dv + jax.lax.dot_general(
-            hx, M, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [Wl, Hl*D]
+            # ---- shared middle term M[q, iy*D+d] = a*hy[q,iy]*g[q,d] ----
+            hy_exp = jnp.dot(ahy, ey_refs[lv][...],
+                             preferred_element_type=jnp.float32)
+            M = hy_exp * g_exp                               # [Qp, Hl*D]
 
-        # ---- x-axis grad: dfx = rowsum(M * (ghx @ V)) — a is in M ----
-        Rg = jnp.dot(ghx.astype(vx.dtype), vx,
-                     preferred_element_type=jnp.float32)  # [Qp, Hl*D]
-        dfx_ref[0, p, :] = jnp.sum(M * Rg, axis=1)
-    dv_ref[0] = dv
+            # ---- dV = hx^T @ M ----
+            dv = dv + jax.lax.dot_general(
+                hx, M, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [Wl, Hl*D]
+
+            # ---- x-axis grad: dfx = rowsum(M * (ghx @ V)) — a is in M --
+            Rg = jnp.dot(ghx.astype(vx.dtype), vx,
+                         preferred_element_type=jnp.float32)  # [Qp, Hl*D]
+            dfx_ref[0, lv, p, :] = jnp.sum(M * Rg, axis=1)
+        dv_refs[lv][0] = dv
 
 
 def _layouts(value, spatial_shapes, sampling_locations, attention_weights):
@@ -181,12 +201,13 @@ def _layouts(value, spatial_shapes, sampling_locations, attention_weights):
     att = jnp.pad(
         jnp.transpose(attention_weights, (0, 2, 3, 4, 1)),
         ((0, 0),) * 4 + ((0, Qp - Q),)).astype(jnp.float32)
-    fxs, fys, atts = [], [], []
-    for lv, (h, w) in enumerate(spatial_shapes):
-        fxs.append((loc[:, :, lv, :, :, 0] * w - 0.5).reshape(B * H, P, Qp))
-        fys.append((loc[:, :, lv, :, :, 1] * h - 0.5).reshape(B * H, P, Qp))
-        atts.append(att[:, :, lv].reshape(B * H, P, Qp))
-    return vx, fxs, fys, atts, Qp
+    wh = np.asarray([[w, h] for h, w in spatial_shapes], np.float32)
+    fx = (loc[..., 0] * wh[None, None, :, None, None, 0]
+          - 0.5).reshape(B * H, L, P, Qp)
+    fy = (loc[..., 1] * wh[None, None, :, None, None, 1]
+          - 0.5).reshape(B * H, L, P, Qp)
+    att = att.reshape(B * H, L, P, Qp)
+    return vx, fx, fy, att, Qp
 
 
 def _consts(Hl, D):
@@ -200,25 +221,26 @@ def _const_spec(shape):
 def _fwd_impl(value, spatial_shapes, sampling_locations, attention_weights):
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
-    vx, fxs, fys, atts, Qp = _layouts(
+    vx, fx, fy, att, Qp = _layouts(
         value, spatial_shapes, sampling_locations, attention_weights)
 
-    out = jnp.zeros((B * H, Qp, D), jnp.float32)
-    for lv, (Hl, Wl) in enumerate(spatial_shapes):
-        ey, ty = _consts(Hl, D)
-        qspec = pl.BlockSpec((1, P, Qp), lambda bh: (bh, 0, 0))
-        out = out + pl.pallas_call(
-            functools.partial(_fwd_kernel, P=P, Hl=Hl, Wl=Wl, D=D),
-            grid=(B * H,),
-            in_specs=[qspec, qspec, qspec,
-                      pl.BlockSpec((1, Wl, Hl * D), lambda bh: (bh, 0, 0)),
-                      _const_spec(ey.shape), _const_spec(ty.shape)],
-            out_specs=pl.BlockSpec((1, Qp, D), lambda bh: (bh, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B * H, Qp, D), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
-            interpret=_interpret(),
-        )(fxs[lv], fys[lv], atts[lv], vx[lv], ey, ty)
+    consts = [_consts(Hl, D) for Hl, _ in spatial_shapes]
+    qspec = pl.BlockSpec((1, L, P, Qp), lambda bh: (bh, 0, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, P=P, D=D,
+                          shapes=tuple(spatial_shapes)),
+        grid=(B * H,),
+        in_specs=[qspec, qspec, qspec]
+        + [pl.BlockSpec((1, Wl, Hl * D), lambda bh: (bh, 0, 0))
+           for Hl, Wl in spatial_shapes]
+        + [_const_spec(ey.shape) for ey, _ in consts]
+        + [_const_spec(ty.shape) for _, ty in consts],
+        out_specs=pl.BlockSpec((1, Qp, D), lambda bh: (bh, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Qp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(fx, fy, att, *vx, *[ey for ey, _ in consts], *[ty for _, ty in consts])
 
     out = out.reshape(B, H, Qp, D)[:, :, :Q]
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D).astype(
@@ -229,49 +251,46 @@ def _bwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
               gout):
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
-    vx, fxs, fys, atts, Qp = _layouts(
+    vx, fx, fy, att, Qp = _layouts(
         value, spatial_shapes, sampling_locations, attention_weights)
 
     g = gout.reshape(B, Q, H, D)
     g = jnp.transpose(g, (0, 2, 1, 3)).reshape(B * H, Q, D)
     g = jnp.pad(g, ((0, 0), (0, Qp - Q), (0, 0))).astype(jnp.float32)
 
-    dv_rows = []
-    dfx = jnp.zeros((B * H, L, P, Qp), jnp.float32)
-    dfy = jnp.zeros((B * H, L, P, Qp), jnp.float32)
-    datt = jnp.zeros((B * H, L, P, Qp), jnp.float32)
-    for lv, (Hl, Wl) in enumerate(spatial_shapes):
-        ey, ty = _consts(Hl, D)
-        qspec = pl.BlockSpec((1, P, Qp), lambda bh: (bh, 0, 0))
-        dv_l, dfx_l, dfy_l, datt_l = pl.pallas_call(
-            functools.partial(_bwd_kernel, P=P, Hl=Hl, Wl=Wl, D=D),
-            grid=(B * H,),
-            in_specs=[qspec, qspec, qspec,
-                      pl.BlockSpec((1, Wl, Hl * D), lambda bh: (bh, 0, 0)),
-                      pl.BlockSpec((1, Qp, D), lambda bh: (bh, 0, 0)),
-                      _const_spec(ey.shape), _const_spec(ty.shape)],
-            out_specs=[
-                pl.BlockSpec((1, Wl, Hl * D), lambda bh: (bh, 0, 0)),
-                qspec, qspec, qspec],
-            out_shape=[
-                jax.ShapeDtypeStruct((B * H, Wl, Hl * D), jnp.float32),
-                jax.ShapeDtypeStruct((B * H, P, Qp), jnp.float32),
-                jax.ShapeDtypeStruct((B * H, P, Qp), jnp.float32),
-                jax.ShapeDtypeStruct((B * H, P, Qp), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
-            interpret=_interpret(),
-        )(fxs[lv], fys[lv], atts[lv], vx[lv], g, ey, ty)
+    consts = [_consts(Hl, D) for Hl, _ in spatial_shapes]
+    qspec = pl.BlockSpec((1, L, P, Qp), lambda bh: (bh, 0, 0, 0))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, P=P, D=D,
+                          shapes=tuple(spatial_shapes)),
+        grid=(B * H,),
+        in_specs=[qspec, qspec, qspec]
+        + [pl.BlockSpec((1, Wl, Hl * D), lambda bh: (bh, 0, 0))
+           for Hl, Wl in spatial_shapes]
+        + [pl.BlockSpec((1, Qp, D), lambda bh: (bh, 0, 0))]
+        + [_const_spec(ey.shape) for ey, _ in consts]
+        + [_const_spec(ty.shape) for _, ty in consts],
+        out_specs=[
+            pl.BlockSpec((1, Wl, Hl * D), lambda bh: (bh, 0, 0))
+            for Hl, Wl in spatial_shapes]
+        + [qspec, qspec, qspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Wl, Hl * D), jnp.float32)
+            for Hl, Wl in spatial_shapes]
+        + [jax.ShapeDtypeStruct((B * H, L, P, Qp), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(fx, fy, att, *vx, g, *[ey for ey, _ in consts],
+      *[ty for _, ty in consts])
+    dvs, (dfx, dfy, datt) = outs[:L], outs[L:]
 
-        # dv_l [BH, Wl, Hl*D] -> [B, Hl*Wl, H, D] level rows
-        m = dv_l.reshape(B, H, Wl, Hl, D)
+    dv_rows = []
+    for lv, (Hl, Wl) in enumerate(spatial_shapes):
+        # dv [BH, Wl, Hl*D] -> [B, Hl*Wl, H, D] level rows
+        m = dvs[lv].reshape(B, H, Wl, Hl, D)
         dv_rows.append(jnp.transpose(m, (0, 3, 2, 1, 4)).reshape(
             B, Hl * Wl, H, D))
-        dfx = dfx.at[:, lv].set(dfx_l)
-        dfy = dfy.at[:, lv].set(dfy_l)
-        datt = datt.at[:, lv].set(datt_l)
-
     dvalue = jnp.concatenate(dv_rows, axis=1).astype(value.dtype)
 
     def unpack(x):  # [BH, L, P, Qp] -> [B, Q, H, L, P]

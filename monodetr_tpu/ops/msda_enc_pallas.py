@@ -180,28 +180,64 @@ def _centers(by, bx, th, twp, wq_real, hq, wq, spatial_shapes):
 # kernels
 # --------------------------------------------------------------------------
 
+def _make_strip_dma(v_ref, strip_ref, sem_ref, g, nbx, G, ii, bb, slot):
+    """DMA descriptor for tile ii of batch bb into strip buffer `slot`
+    (identical descriptors are used to start and to wait)."""
+    by = ii // nbx
+    bx = ii - by * nbx
+    sy = g["ay0"](by) + PAD - G // 2
+    sx = ((g["ax0"](bx) + PAD - G // 2) // 8) * 8
+    return pltpu.make_async_copy(
+        v_ref.at[bb, pl.ds(sy, g["SH"]), pl.ds(sx, g["SWp"]), :],
+        strip_ref.at[slot], sem_ref.at[slot])
+
+
+def _next_step(i, b, B):
+    wrap = b + 1 == B
+    return jnp.where(wrap, i + 1, i), jnp.where(wrap, 0, b + 1)
+
+
 def _fwd_kernel(off_ref, logit_ref, *refs, geom, nbx, D, G, lim,
-                th, twp, wq_real, hq, wq, spatial_shapes, out_dtype):
+                th, twp, wq_real, hq, wq, spatial_shapes, out_dtype, nbuf):
+    """Grid (NB, B) — batch INNERMOST, so consecutive grid steps touch
+    different batch items' value maps.  With nbuf=2 the next step's strips
+    are prefetched during the current step's compute (double-buffered); the
+    read-only value maps make this safe for any B."""
     Lg = len(geom)
     v_refs = refs[:Lg]
     out_ref = refs[Lg]
-    strip_refs = refs[Lg + 1:2 * Lg + 1]
-    sems = refs[2 * Lg + 1]
+    strip_refs = refs[Lg + 1:2 * Lg + 1]  # each [nbuf, SH, SWp, C]
+    sems = refs[2 * Lg + 1]               # DMA sems [nbuf, Lg]
 
-    b = pl.program_id(0)
-    i = pl.program_id(1)
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    B = pl.num_programs(1)
+    NB = pl.num_programs(0)
     by = i // nbx
     bx = i - by * nbx
 
-    dmas = []
-    for lv, g in enumerate(geom):
-        sy = g["ay0"](by) + PAD - G // 2
-        sx = ((g["ax0"](bx) + PAD - G // 2) // 8) * 8
-        dma = pltpu.make_async_copy(
-            v_refs[lv].at[b, pl.ds(sy, g["SH"]), pl.ds(sx, g["SWp"]), :],
-            strip_refs[lv], sems.at[lv])
-        dma.start()
-        dmas.append(dma)
+    def dma(lv, ii, bb, slot):
+        return _make_strip_dma(v_refs[lv], strip_refs[lv], sems.at[..., lv],
+                               geom[lv], nbx, G, ii, bb, slot)
+
+    if nbuf == 1:
+        for lv in range(Lg):
+            dma(lv, i, b, 0).start()
+        slot = 0
+    else:
+        step = i * B + b
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            for lv in range(Lg):
+                dma(lv, i, b, slot).start()
+
+        @pl.when(step + 1 < NB * B)
+        def _():
+            ni, nb = _next_step(i, b, B)
+            for lv in range(Lg):
+                dma(lv, ni, nb, 1 - slot).start()
 
     T = th * twp
     off = off_ref[0].reshape(T, 2 * 128)
@@ -221,10 +257,10 @@ def _fwd_kernel(off_ref, logit_ref, *refs, geom, nbx, D, G, lim,
 
     outs = [jnp.zeros((T, D), jnp.float32) for _ in range(H)]
     for lv, g in enumerate(geom):
-        dmas[lv].wait()
+        dma(lv, i, b, slot).wait()
         SH, SWp = g["SH"], g["SWp"]
         SP = SH * SWp
-        strip = strip_refs[lv][:].reshape(SP, H * D)
+        strip = strip_refs[lv][slot].reshape(SP, H * D)
         mxu_dtype = (jnp.bfloat16 if strip.dtype == jnp.bfloat16
                      else jnp.float32)
         cy, cx = centers[lv]
@@ -255,8 +291,32 @@ def _fwd_kernel(off_ref, logit_ref, *refs, geom, nbx, D, G, lim,
         th, twp, H * D).astype(out_dtype)
 
 
+def _gstrip_dma(gv_ref, gstrip_ref, sem_ref, g, nbx, G, ii, bb, slot,
+                out=False):
+    """RMW gradient-strip DMA: map->buffer (in) or buffer->map (out)."""
+    by = ii // nbx
+    bx = ii - by * nbx
+    sy = g["ay0"](by) + PAD - G // 2
+    sx = ((g["ax0"](bx) + PAD - G // 2) // 8) * 8
+    reg = gv_ref.at[bb, pl.ds(sy, g["SH"]), pl.ds(sx, g["SWp"]), :]
+    buf = gstrip_ref.at[slot]
+    if out:
+        return pltpu.make_async_copy(buf, reg, sem_ref.at[slot])
+    return pltpu.make_async_copy(reg, buf, sem_ref.at[slot])
+
+
 def _bwd_kernel(off_ref, logit_ref, gout_ref, *refs, geom, nbx, D, G, lim,
-                th, twp, wq_real, hq, wq, spatial_shapes):
+                th, twp, wq_real, hq, wq, spatial_shapes, nbuf):
+    """Grid (NB, B), batch innermost.  With nbuf=2 (requires B >= 2 so
+    consecutive steps touch different batch items' grad maps):
+
+      - the next step's value+grad strips are prefetched during compute;
+      - each step's grad-strip write-back DMA stays in flight through the
+        NEXT step (its buffer is only reused, and its region only re-read,
+        after an explicit wait one step later) — the RMW chain for a given
+        map region is ordered because overlapping tiles of the SAME batch
+        item are B grid steps apart.
+    """
     Lg = len(geom)
     v_refs = refs[:Lg]
     # refs[Lg:2Lg] are the aliased grad-map INPUT refs (same memory as the
@@ -264,34 +324,69 @@ def _bwd_kernel(off_ref, logit_ref, gout_ref, *refs, geom, nbx, D, G, lim,
     goff_ref = refs[2 * Lg]
     glogit_ref = refs[2 * Lg + 1]
     gv_refs = refs[2 * Lg + 2:3 * Lg + 2]
-    strip_refs = refs[3 * Lg + 2:4 * Lg + 2]
-    gstrip_refs = refs[4 * Lg + 2:5 * Lg + 2]
+    strip_refs = refs[3 * Lg + 2:4 * Lg + 2]    # [nbuf, SH, SWp, C]
+    gstrip_refs = refs[4 * Lg + 2:5 * Lg + 2]   # [nbuf, SH, SWp, C] f32
     gfxT_ref = refs[5 * Lg + 2]      # [128, T] f32 scratch (per-lane rows)
     gfyT_ref = refs[5 * Lg + 3]
     gattT_ref = refs[5 * Lg + 4]
-    sems = refs[5 * Lg + 5]
-    gsems = refs[5 * Lg + 6]
+    sems = refs[5 * Lg + 5]          # v-strip DMA sems [nbuf, Lg]
+    gsems_in = refs[5 * Lg + 6]      # grad-strip in [nbuf, Lg]
+    gsems_out = refs[5 * Lg + 7]     # grad-strip out [nbuf, Lg]
 
-    b = pl.program_id(0)
-    i = pl.program_id(1)
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    B = pl.num_programs(1)
+    NB = pl.num_programs(0)
     by = i // nbx
     bx = i - by * nbx
 
-    def region(g, ref):
-        sy = g["ay0"](by) + PAD - G // 2
-        sx = ((g["ax0"](bx) + PAD - G // 2) // 8) * 8
-        return ref.at[b, pl.ds(sy, g["SH"]), pl.ds(sx, g["SWp"]), :]
+    def dma_v(lv, ii, bb, slot):
+        return _make_strip_dma(v_refs[lv], strip_refs[lv],
+                               sems.at[..., lv], geom[lv], nbx, G,
+                               ii, bb, slot)
 
-    v_dmas, gin_dmas = [], []
-    for lv, g in enumerate(geom):
-        dma = pltpu.make_async_copy(region(g, v_refs[lv]), strip_refs[lv],
-                                    sems.at[lv])
-        dma.start()
-        v_dmas.append(dma)
-        gdma = pltpu.make_async_copy(region(g, gv_refs[lv]), gstrip_refs[lv],
-                                     gsems.at[lv])
-        gdma.start()
-        gin_dmas.append(gdma)
+    def dma_gin(lv, ii, bb, slot):
+        return _gstrip_dma(gv_refs[lv], gstrip_refs[lv],
+                           gsems_in.at[..., lv], geom[lv], nbx, G,
+                           ii, bb, slot)
+
+    def dma_gout(lv, ii, bb, slot):
+        return _gstrip_dma(gv_refs[lv], gstrip_refs[lv],
+                           gsems_out.at[..., lv], geom[lv], nbx, G,
+                           ii, bb, slot, out=True)
+
+    if nbuf == 1:
+        slot = 0
+        for lv in range(Lg):
+            dma_v(lv, i, b, 0).start()
+            dma_gin(lv, i, b, 0).start()
+    else:
+        step = i * B + b
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            for lv in range(Lg):
+                dma_v(lv, i, b, slot).start()
+                dma_gin(lv, i, b, slot).start()
+
+        # the OTHER slot's write-back was issued at step-1; it must land
+        # before that buffer is refilled (prefetch below) and before any
+        # later read of its region (the next same-batch tile is B steps
+        # away, so this wait over-satisfies the RMW ordering)
+        @pl.when(step >= 1)
+        def _():
+            pi = jnp.where(b == 0, i - 1, i)
+            pb = jnp.where(b == 0, B - 1, b - 1)
+            for lv in range(Lg):
+                dma_gout(lv, pi, pb, 1 - slot).wait()
+
+        @pl.when(step + 1 < NB * B)
+        def _():
+            ni, nb = _next_step(i, b, B)
+            for lv in range(Lg):
+                dma_v(lv, ni, nb, 1 - slot).start()
+                dma_gin(lv, ni, nb, 1 - slot).start()
 
     T = th * twp
     off = off_ref[0].reshape(T, 2 * 128)
@@ -309,13 +404,12 @@ def _bwd_kernel(off_ref, logit_ref, gout_ref, *refs, geom, nbx, D, G, lim,
     oyT = offc[:, 128:].T
     centers = _centers(by, bx, th, twp, wq_real, hq, wq, spatial_shapes)
 
-    gout_dmas = []
     for lv, g in enumerate(geom):
-        v_dmas[lv].wait()
-        gin_dmas[lv].wait()
+        dma_v(lv, i, b, slot).wait()
+        dma_gin(lv, i, b, slot).wait()
         SH, SWp = g["SH"], g["SWp"]
         SP = SH * SWp
-        strip = strip_refs[lv][:].reshape(SP, H * D)
+        strip = strip_refs[lv][slot].reshape(SP, H * D)
         mxu_dtype = (jnp.bfloat16 if strip.dtype == jnp.bfloat16
                      else jnp.float32)
         cy, cx = centers[lv]
@@ -360,13 +454,10 @@ def _bwd_kernel(off_ref, logit_ref, gout_ref, *refs, geom, nbx, D, G, lim,
                 gout_h.astype(mxu_dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [SP, D]
-            gstrip_refs[lv][:, :, h * D:(h + 1) * D] = (
-                gstrip_refs[lv][:, :, h * D:(h + 1) * D]
+            gstrip_refs[lv][slot, :, :, h * D:(h + 1) * D] = (
+                gstrip_refs[lv][slot, :, :, h * D:(h + 1) * D]
                 + gs_h.reshape(SH, SWp, D))
-        gdma = pltpu.make_async_copy(gstrip_refs[lv], region(g, gv_refs[lv]),
-                                     gsems.at[lv])
-        gdma.start()
-        gout_dmas.append(gdma)
+        dma_gout(lv, i, b, slot).start()
 
     # epilogue: chain rule through clamp + softmax, back to [T, 128] layout
     gatt = gattT_ref[:].T                            # [T, 128]
@@ -381,8 +472,16 @@ def _bwd_kernel(off_ref, logit_ref, gout_ref, *refs, geom, nbx, D, G, lim,
     goff = jnp.concatenate([gfxT_ref[:].T, gfyT_ref[:].T], axis=-1) * inside
     goff_ref[0] = goff.reshape(th, twp, 2 * 128).astype(goff_ref.dtype)
 
-    for gdma in gout_dmas:
-        gdma.wait()
+    if nbuf == 1:
+        for lv in range(Lg):
+            dma_gout(lv, i, b, 0).wait()
+    else:
+        # own write-backs stay in flight through the next step (waited
+        # there); only the FINAL grid step must drain its own
+        @pl.when(i * B + b == NB * B - 1)
+        def _():
+            for lv in range(Lg):
+                dma_gout(lv, i, b, slot).wait()
 
 
 # --------------------------------------------------------------------------
@@ -403,8 +502,22 @@ def _level_views(x, spatial_shapes, wqps):
 
 
 def _nat_spec(th, twp, C, nbx):
+    # grid is (NB, B) — batch innermost (see _fwd_kernel)
     return pl.BlockSpec((1, th, twp, C),
-                        lambda b, i: (b, i // nbx, i % nbx, 0))
+                        lambda i, b: (b, i // nbx, i % nbx, 0))
+
+
+def _pick_nbuf(geom, T, B, itemsize, with_grads):
+    """2 (double-buffered strips, prefetch + deferred write-back) when the
+    doubled scratch fits the VMEM budget — the backward additionally needs
+    B >= 2 so consecutive grid steps touch different batch items' grad
+    maps (see _bwd_kernel's RMW ordering argument)."""
+    if with_grads and B < 2:
+        return 1
+    sp = [g["SH"] * g["SWp"] for g in geom]
+    per_buf = sum(sp) * 256 * (itemsize + (4 if with_grads else 0))
+    est = 2 * per_buf + 2 * max(sp) * T * 4
+    return 2 if est <= VMEM_BUDGET else 1
 
 
 def _geoms(spatial_shapes, G):
@@ -428,22 +541,23 @@ def _fwd_impl(value, spatial_shapes, off, logits, window):
         (th, twp, wqp), geom = geos[lq]
         nbx = wqp // twp
         NB = (hq // th) * nbx
+        nbuf = _pick_nbuf(geom, th * twp, B, value.dtype.itemsize, False)
         kernel = functools.partial(
             _fwd_kernel, geom=geom, nbx=nbx, D=D, G=G, lim=lim,
             th=th, twp=twp, wq_real=wq, hq=hq, wq=wq,
-            spatial_shapes=spatial_shapes, out_dtype=value.dtype)
+            spatial_shapes=spatial_shapes, out_dtype=value.dtype, nbuf=nbuf)
         out = pl.pallas_call(
             kernel,
-            grid=(B, NB),
+            grid=(NB, B),
             in_specs=[_nat_spec(th, twp, 256, nbx),
                       _nat_spec(th, twp, 128, nbx)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * len(spatial_shapes),
             out_specs=_nat_spec(th, twp, Hh * D, nbx),
             out_shape=jax.ShapeDtypeStruct((B, hq, wqp, Hh * D), value.dtype),
             scratch_shapes=[
-                pltpu.VMEM((g["SH"], g["SWp"], Hh * D), value.dtype)
+                pltpu.VMEM((nbuf, g["SH"], g["SWp"], Hh * D), value.dtype)
                 for g in geom
-            ] + [pltpu.SemaphoreType.DMA((len(geom),))],
+            ] + [pltpu.SemaphoreType.DMA((nbuf, len(geom)))],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=32 * 1024 * 1024),
             interpret=_interpret(),
@@ -472,13 +586,14 @@ def _bwd_impl(value, spatial_shapes, off, logits, window, gout):
         (th, twp, wqp), geom = geos[lq]
         nbx = wqp // twp
         NB = (hq // th) * nbx
+        nbuf = _pick_nbuf(geom, th * twp, B, value.dtype.itemsize, True)
         kernel = functools.partial(
             _bwd_kernel, geom=geom, nbx=nbx, D=D, G=G, lim=lim,
             th=th, twp=twp, wq_real=wq, hq=hq, wq=wq,
-            spatial_shapes=spatial_shapes)
+            spatial_shapes=spatial_shapes, nbuf=nbuf)
         goff_b, glog_b, *gvmaps = pl.pallas_call(
             kernel,
-            grid=(B, NB),
+            grid=(NB, B),
             in_specs=[_nat_spec(th, twp, 256, nbx),
                       _nat_spec(th, twp, 128, nbx),
                       _nat_spec(th, twp, Hh * D, nbx)]
@@ -491,13 +606,13 @@ def _bwd_impl(value, spatial_shapes, off, logits, window, gout):
             + [jax.ShapeDtypeStruct(v.shape, jnp.float32) for v in vmaps],
             input_output_aliases={3 + Lg + lv: 2 + lv for lv in range(Lg)},
             scratch_shapes=[
-                pltpu.VMEM((g["SH"], g["SWp"], Hh * D), value.dtype)
+                pltpu.VMEM((nbuf, g["SH"], g["SWp"], Hh * D), value.dtype)
                 for g in geom
             ] + [
-                pltpu.VMEM((g["SH"], g["SWp"], Hh * D), jnp.float32)
+                pltpu.VMEM((nbuf, g["SH"], g["SWp"], Hh * D), jnp.float32)
                 for g in geom
             ] + [pltpu.VMEM((128, th * twp), jnp.float32)] * 3
-            + [pltpu.SemaphoreType.DMA((Lg,)), pltpu.SemaphoreType.DMA((Lg,))],
+            + [pltpu.SemaphoreType.DMA((nbuf, Lg))] * 3,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=32 * 1024 * 1024),
             interpret=_interpret(),

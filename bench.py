@@ -58,8 +58,13 @@ def bench_env():
     return {
         "batch": int(os.environ.get("BENCH_BS", 16)),
         "rng_impl": rng_impl,
+        # stress config (BASELINE #4): BENCH_H=768 BENCH_W=2560
+        # BENCH_BACKBONE=resnet101 BENCH_BS=2 BENCH_REMAT=1
+        "height": int(os.environ.get("BENCH_H", 384)),
+        "width": int(os.environ.get("BENCH_W", 1280)),
         "model_kwargs": dict(
             remat=remat,
+            backbone_name=os.environ.get("BENCH_BACKBONE", "resnet50"),
             msda_impl=os.environ.get("BENCH_MSDA", "fused"),  # fused|pallas|sepwin|windowed|gather
             msda_window=int(os.environ.get("BENCH_WINDOW", 6)),
             dec_msda_impl=os.environ.get("BENCH_DEC_MSDA", "sep"),
@@ -79,7 +84,7 @@ def main():
     env = bench_env()
     B = env["batch"]
     rng_impl = env["rng_impl"]
-    H, W, T = 384, 1280, 50
+    H, W, T = env["height"], env["width"], 50
     # bf16 compute + remat: the TPU fast path (fp32 master params)
     model = MonoDETR(dtype=jnp.bfloat16, **env["model_kwargs"])
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
@@ -153,7 +158,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"train_throughput_384x1280_bs{B}",
+                "metric": f"train_throughput_{H}x{W}_bs{B}",
                 "value": round(img_per_sec, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_sec / A100_REF_IMG_PER_SEC, 3),

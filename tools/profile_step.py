@@ -170,7 +170,7 @@ def main():
     model = MonoDETR(dtype=jnp.bfloat16, **env["model_kwargs"])
     crit = SetCriterion({"num_classes": 3, "dec_layers": 3, "group_num": 11})
     B = env["batch"] if args.batch is None else args.batch
-    batch = make_batch(B, 384, 1280)
+    batch = make_batch(B, env["height"], env["width"])
 
     params = jax.jit(lambda r: model.init(
         r, batch["images"], batch["calibs"], batch["img_sizes"], train=True

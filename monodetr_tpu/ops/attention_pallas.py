@@ -184,6 +184,10 @@ def _run_fwd(q, k, v, seed, scale, p):
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda bh, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, tq_pad, D), q.dtype),
+        # the default 16 MB scoped-vmem limit fails at the stress config
+        # (7680 depth tokens -> [bq, Tk] f32 logits tiles > 16 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(seed_arr, qp, kf, vf)
     return out.reshape(B, H, tq_pad, D)[:, :, :Tq]
@@ -231,6 +235,8 @@ def _fused_attention_bwd(scale, dropout_p, res, g):
             pltpu.VMEM((Tk, D), jnp.float32),
             pltpu.VMEM((Tk, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(seed_arr, qp, kf, vf, gp)
 

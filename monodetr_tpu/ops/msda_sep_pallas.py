@@ -128,7 +128,31 @@ def _fwd_kernel(fx_ref, fy_ref, att_ref, *refs, P, D, shapes):
     o_ref[0] = acc
 
 
-def _bwd_kernel(fx_ref, fy_ref, att_ref, *refs, P, D, shapes):
+def _bwd_chunks(shapes, Qp, D):
+    """Per-level query-chunk sizes for the backward.
+
+    Mosaic sums the unrolled per-level value stacks (~5 live [Qp, Hl*D]
+    f32 intermediates per level), so a 2x-resolution pyramid blows the
+    64 MB scoped-vmem limit (observed 87 MB at the stress config).  Chunk
+    the most expensive levels until the estimated stack fits 38 MB — just
+    above the shipped bench shapes' ~37 MB, so the measured-good bench
+    path stays byte-identical."""
+    cq = [Qp] * len(shapes)
+
+    def est():
+        return sum(5 * c * Hl * D * 4 for c, (Hl, _) in zip(cq, shapes))
+
+    for i in sorted(range(len(shapes)),
+                    key=lambda i: -shapes[i][0]):
+        if est() <= 38 * 1024 * 1024:
+            break
+        cq[i] = min(Qp, max(128,
+                            (8 * 1024 * 1024 // (5 * shapes[i][0] * D * 4))
+                            // 8 * 8))
+    return tuple(cq)
+
+
+def _bwd_kernel(fx_ref, fy_ref, att_ref, *refs, P, D, shapes, cqs):
     L = len(shapes)
     v_refs = refs[:L]
     g_ref = refs[L]
@@ -144,40 +168,43 @@ def _bwd_kernel(fx_ref, fy_ref, att_ref, *refs, P, D, shapes):
         fy = fy_ref[0, lv]
         att = att_ref[0, lv]
         vx = v_refs[lv][0]                  # [Wl, Hl*D]
-        jx = _fiota(Qp, Wl)
-        jy = _fiota(Qp, Hl)
 
-        g_exp = jnp.dot(g, ty_refs[lv][...],
-                        preferred_element_type=jnp.float32)  # [Qp, Hl*D]
-
+        CQ = cqs[lv]
         dv = jnp.zeros((Wl, Hl * D), jnp.float32)
-        for p in range(P):
-            a = att[p][:, None]
-            hx, ghx = _hat(fx[p][:, None], jx)
-            hy, ghy = _hat(fy[p][:, None], jy)
-            ahy = a * hy
+        for q0 in range(0, Qp, CQ):
+            cq = min(CQ, Qp - q0)
+            jx = _fiota(cq, Wl)
+            jy = _fiota(cq, Hl)
+            g_exp = jnp.dot(g[q0:q0 + cq], ty_refs[lv][...],
+                            preferred_element_type=jnp.float32)  # [cq,Hl*D]
+            for p in range(P):
+                a = att[p][q0:q0 + cq][:, None]
+                hx, ghx = _hat(fx[p][q0:q0 + cq][:, None], jx)
+                hy, ghy = _hat(fy[p][q0:q0 + cq][:, None], jy)
+                ahy = a * hy
 
-            # ---- y-axis grads: dhy[q, iy] = sum_d g * R ----
-            R = jnp.dot(hx.astype(vx.dtype), vx,
-                        preferred_element_type=jnp.float32)  # [Qp, Hl*D]
-            dhy = _dotT(R * g_exp, ey_refs[lv][...])         # [Qp, Hl]
-            datt_ref[0, lv, p, :] = jnp.sum(hy * dhy, axis=1)
-            dfy_ref[0, lv, p, :] = att[p] * jnp.sum(ghy * dhy, axis=1)
+                # ---- y-axis grads: dhy[q, iy] = sum_d g * R ----
+                R = jnp.dot(hx.astype(vx.dtype), vx,
+                            preferred_element_type=jnp.float32)  # [cq,Hl*D]
+                dhy = _dotT(R * g_exp, ey_refs[lv][...])         # [cq, Hl]
+                datt_ref[0, lv, p, q0:q0 + cq] = jnp.sum(hy * dhy, axis=1)
+                dfy_ref[0, lv, p, q0:q0 + cq] = (
+                    att[p][q0:q0 + cq] * jnp.sum(ghy * dhy, axis=1))
 
-            # ---- shared middle term M[q, iy*D+d] = a*hy[q,iy]*g[q,d] ----
-            hy_exp = jnp.dot(ahy, ey_refs[lv][...],
+                # ---- shared middle M[q, iy*D+d] = a*hy[q,iy]*g[q,d] ----
+                hy_exp = jnp.dot(ahy, ey_refs[lv][...],
+                                 preferred_element_type=jnp.float32)
+                M = hy_exp * g_exp                               # [cq,Hl*D]
+
+                # ---- dV = hx^T @ M ----
+                dv = dv + jax.lax.dot_general(
+                    hx, M, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # [Wl,Hl*D]
+
+                # ---- x grad: dfx = rowsum(M * (ghx @ V)) — a is in M --
+                Rg = jnp.dot(ghx.astype(vx.dtype), vx,
                              preferred_element_type=jnp.float32)
-            M = hy_exp * g_exp                               # [Qp, Hl*D]
-
-            # ---- dV = hx^T @ M ----
-            dv = dv + jax.lax.dot_general(
-                hx, M, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [Wl, Hl*D]
-
-            # ---- x-axis grad: dfx = rowsum(M * (ghx @ V)) — a is in M --
-            Rg = jnp.dot(ghx.astype(vx.dtype), vx,
-                         preferred_element_type=jnp.float32)  # [Qp, Hl*D]
-            dfx_ref[0, lv, p, :] = jnp.sum(M * Rg, axis=1)
+                dfx_ref[0, lv, p, q0:q0 + cq] = jnp.sum(M * Rg, axis=1)
         dv_refs[lv][0] = dv
 
 
@@ -262,7 +289,8 @@ def _bwd_impl(value, spatial_shapes, sampling_locations, attention_weights,
     qspec = pl.BlockSpec((1, L, P, Qp), lambda bh: (bh, 0, 0, 0))
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, P=P, D=D,
-                          shapes=tuple(spatial_shapes)),
+                          shapes=tuple(spatial_shapes),
+                          cqs=_bwd_chunks(spatial_shapes, Qp, D)),
         grid=(B * H,),
         in_specs=[qspec, qspec, qspec]
         + [pl.BlockSpec((1, Wl, Hl * D), lambda bh: (bh, 0, 0))

@@ -134,13 +134,21 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _block_q(tq):
-    """Query tile size; Tq is padded UP to a multiple of this (a 550-query
-    decoder pads to 640 at bq=128).  256 keeps the f32 logits tile at
-    [256, Tk] ~ 2 MB for Tk=1920; non-multiples use 128 to bound padding
-    waste."""
-    if tq % 256 == 0:
-        return 256
-    return min(128, max(8, 1 << int(np.ceil(np.log2(max(1, tq))))))
+    """Query tile size; Tq is padded UP to a multiple of this.  Grid-step
+    count is the dominant cost at these shapes (each step's matmuls run at
+    D=32 MXU utilization), so prefer the LARGEST tile among {256, 192,
+    128} with the least padding: 1920 depth tokens tile exactly at 192
+    (1280 steps vs 1920 at the old 128 fallback), the 550-query decoder
+    pads to 576 at 192 (vs 640 at 128)."""
+    if tq <= 128:
+        return min(128, max(8, 1 << int(np.ceil(np.log2(max(1, tq))))))
+    best = None
+    for bq in (256, 192, 128):
+        pad = -(-tq // bq) * bq - tq
+        key = (pad, -bq)
+        if best is None or key < best[0]:
+            best = (key, bq)
+    return best[1]
 
 
 def _pad_q(x, tq_pad):

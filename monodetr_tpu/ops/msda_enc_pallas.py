@@ -509,15 +509,18 @@ def _nat_spec(th, twp, C, nbx):
 
 def _pick_nbuf(geom, T, B, itemsize, with_grads):
     """2 (double-buffered strips, prefetch + deferred write-back) when the
-    doubled scratch fits the VMEM budget — the backward additionally needs
-    B >= 2 so consecutive grid steps touch different batch items' grad
-    maps (see _bwd_kernel's RMW ordering argument)."""
+    doubled scratch fits — the backward additionally needs B >= 2 so
+    consecutive grid steps touch different batch items' grad maps (see
+    _bwd_kernel's RMW ordering argument).  The allowance is 24 MB, looser
+    than the geometry's VMEM_BUDGET: the coarse query levels' big strips
+    are exactly the DMA-heaviest tiles, and the chip's scoped-vmem
+    capacity (>= 64 MB, measured via the other kernels' limits) has room."""
     if with_grads and B < 2:
         return 1
     sp = [g["SH"] * g["SWp"] for g in geom]
     per_buf = sum(sp) * 256 * (itemsize + (4 if with_grads else 0))
     est = 2 * per_buf + 2 * max(sp) * T * 4
-    return 2 if est <= VMEM_BUDGET else 1
+    return 2 if est <= 24 * 1024 * 1024 else 1
 
 
 def _geoms(spatial_shapes, G):

@@ -118,7 +118,11 @@ VMEM_BUDGET = 13 * 1024 * 1024  # conservative per-tile scratch target
 #   NB * (FIXED + BETA * sum(SP) * Tpad)
 # — per-QUERY VPU/MXU work is sum(SP) (every query in a tile pays the whole
 # strip), so smaller tiles do LESS compute but more fixed-cost steps.
-_STEP_FIXED_US = 6.0
+# FIXED recalibrated after the round-5 strip-DMA pipelining: prefetch
+# hides most of the per-step DMA wait, leaving ~3.5 us of launch/pipeline
+# cost — which shifts the optimum toward smaller tiles (less per-query
+# strip work at more steps); lq0/G6 flips (16,16) -> (8,16), -27% sum(SP).
+_STEP_FIXED_US = 3.5
 _STEP_BETA_US = 4.5e-5
 
 
